@@ -1,0 +1,161 @@
+"""Typed configuration for the TPU VO engine.
+
+Mirrors the tunables and per-dataset overrides of the reference config
+(reference: src/config/config.py:4-104) and adds the TPU-specific runtime
+section (fixed shapes, RANSAC hypothesis counts, mesh axes). The config is a
+frozen dataclass so it can be closed over by jitted functions as a static
+value.
+
+Unlike the reference — where switching extractor required editing the
+dataclass default (reference: src/config/config.py:9,63) — `get_config`
+takes the extractor as an explicit argument and applies the matching tuning
+set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class VOConfig:
+    """All tunables of the VO pipeline (algorithm + TPU runtime)."""
+
+    # -- extractor selection ------------------------------------------------
+    extractor_type: str = "superpoint"  # "superpoint" or "sift"
+
+    # -- global scaling (monocular scale fixed at bootstrap) ----------------
+    # (reference: src/config/config.py:12, applied at src/modules/vo.py:100)
+    global_scale: float = 20.0
+
+    # -- feature extractor --------------------------------------------------
+    max_keypoints: int = 2048  # padded keypoint slot count (multiple of 128)
+
+    # SIFT-style detector tunables (reference: src/config/config.py:19-22)
+    sift_n_features: int = 2048
+    sift_contrast_threshold: float = 0.03
+    sift_edge_threshold: float = 10.0
+    sift_sigma: float = 1.6
+    sift_num_octaves: int = 4
+    sift_scales_per_octave: int = 3
+
+    # matcher
+    lowe_ratio: float = 0.75  # (reference: src/modules/frontend.py:104)
+    mutual_check: bool = False  # reference BFMatcher uses crossCheck=False
+
+    # -- initialization & keyframes (reference: src/config/config.py:25-28) -
+    min_median_flow: float = 20.0
+    min_inliers: int = 10
+    init_ransac_prob: float = 0.999
+    init_ransac_thresh: float = 1.0  # px, Sampson-distance gate
+
+    # -- triangulation & depth (reference: src/config/config.py:31-32) ------
+    min_depth: float = 0.001
+    max_reproj_err: float = 6.0
+
+    # -- PnP and tracking (reference: src/config/config.py:35-36) -----------
+    pnp_reproj_err: float = 4.0
+    kf_min_tracked: int = 80
+
+    # -- speed-scale smoothing (reference: src/config/config.py:38-46) ------
+    turn_thresh: float = 0.01  # rad
+    move_thresh: float = 0.01
+    turn_smoothing: float = 0.7
+    trans_smoothing: float = 0.6
+    baseline_lr: float = 0.01
+    scale_clamp_min: float = 0.5
+    scale_clamp_max: float = 3.0
+
+    # -- TPU runtime section (new; no reference analog) ---------------------
+    map_capacity: int = 20480  # landmark slots (reference caps at 20000,
+    #                            src/modules/vo.py:38; rounded to 128 lanes)
+    essential_hypotheses: int = 512  # batched 8-point RANSAC hypotheses
+    pnp_hypotheses: int = 512  # batched DLT-PnP RANSAC hypotheses
+    pnp_refine_iters: int = 10  # damped GN iterations on inliers
+    seed: int = 0
+
+    # sliding-window BA (beyond the reference; north-star configs 1-3)
+    ba_window: int = 5  # keyframes in the BA window
+    ba_max_landmarks: int = 512  # landmark slots per window
+    ba_iters: int = 8
+    ba_damping: float = 1e-3
+
+    @property
+    def padded_keypoints(self) -> int:
+        """Keypoint slot count rounded to the 128-lane TPU tile."""
+        return _round_up(max(self.max_keypoints, self.sift_n_features), 128)
+
+    def replace(self, **kw) -> "VOConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def get_config(dataset: str, extractor: str = "superpoint") -> VOConfig:
+    """Per-dataset tuning, matching the reference's override tables.
+
+    (reference: src/config/config.py:49-104 — including the SIFT branches
+    that were unreachable there without editing the dataclass default.)
+    """
+    cfg = VOConfig(extractor_type=extractor)
+    if dataset == "kitti":
+        cfg = cfg.replace(
+            min_median_flow=40.0,
+            max_keypoints=2048,
+            max_reproj_err=5.0,
+            pnp_reproj_err=1.0,
+            baseline_lr=0.002,
+            turn_smoothing=0.2,
+            trans_smoothing=0.4,
+        )
+        if extractor == "sift":
+            cfg = cfg.replace(
+                sift_n_features=4096,
+                sift_contrast_threshold=0.02,
+                sift_edge_threshold=2.0,
+                max_reproj_err=5.0,
+                pnp_reproj_err=1.0,
+                turn_smoothing=0.2,
+                trans_smoothing=0.4,
+            )
+    elif dataset == "malaga":
+        cfg = cfg.replace(
+            min_median_flow=30.0,
+            max_keypoints=2048,
+            max_reproj_err=5.0,
+            pnp_reproj_err=2.0,
+            baseline_lr=0.003,
+            turn_smoothing=0.5,
+            trans_smoothing=0.3,
+        )
+        if extractor == "sift":
+            cfg = cfg.replace(
+                sift_n_features=3072,
+                sift_contrast_threshold=0.01,
+                sift_edge_threshold=2.0,
+                max_reproj_err=10.0,
+                min_median_flow=4.0,
+            )
+    elif dataset == "parking":
+        cfg = cfg.replace(
+            min_median_flow=3.0,
+            max_reproj_err=2.0,
+            pnp_reproj_err=1.0,
+        )
+        if extractor == "sift":
+            cfg = cfg.replace(
+                sift_n_features=3072,
+                sift_contrast_threshold=0.01,
+                sift_edge_threshold=2.0,
+                min_median_flow=4.0,
+            )
+    elif dataset == "own":
+        cfg = cfg.replace(
+            baseline_lr=0.001,
+            turn_smoothing=0.2,
+            trans_smoothing=0.6,
+        )
+    return cfg

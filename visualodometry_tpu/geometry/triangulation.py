@@ -1,0 +1,70 @@
+"""Batched two-view DLT triangulation with quality gates.
+
+TPU-native replacement for `cv2.triangulatePoints` + the cheirality /
+reprojection gates of the reference's `triangulate_points`
+(reference: src/modules/frontend.py:115-148). All points are triangulated in
+one batched 4x4 eigh — no per-point Python loop — and the dynamic-size
+"filtered points" return becomes a fixed-shape (points, validity-mask) pair.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from visualodometry_tpu.config import VOConfig
+from visualodometry_tpu.geometry.camera import project_points_T
+from visualodometry_tpu.geometry.linalg import smallest_eigvec
+
+
+def triangulate_dlt(
+    P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray
+) -> jnp.ndarray:
+    """Linear triangulation of N correspondences.
+
+    P1, P2: (3, 4) projection matrices; uv1, uv2: (N, 2) pixels (or
+    normalized coords if P are normalized). Returns (N, 3) points, solving
+    each 4x4 homogeneous system by eigh of A^T A in one batch.
+    """
+    # rows: u*P[2] - P[0], v*P[2] - P[1] for each view
+    a0 = uv1[:, 0:1] * P1[2] - P1[0]  # (N, 4)
+    a1 = uv1[:, 1:2] * P1[2] - P1[1]
+    a2 = uv2[:, 0:1] * P2[2] - P2[0]
+    a3 = uv2[:, 1:2] * P2[2] - P2[1]
+    A = jnp.stack([a0, a1, a2, a3], axis=1)  # (N, 4, 4)
+    # row-normalize for conditioning (scale-invariant for homogeneous systems)
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=2, keepdims=True), 1e-12)
+    X = smallest_eigvec(jnp.matmul(jnp.swapaxes(A, 1, 2), A, precision="highest"))  # (N, 4)
+    w = X[:, 3]
+    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return X[:, :3] / w_safe[:, None]
+
+
+def triangulate_points(
+    T_cw1: jnp.ndarray,
+    T_cw2: jnp.ndarray,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: VOConfig,
+    valid_in: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Triangulate + gate, reproducing the reference's filter semantics.
+
+    Gates (reference: src/modules/frontend.py:134-146):
+      - cheirality: depth in camera 2 > cfg.min_depth;
+      - reprojection error in frame 2 < cfg.max_reproj_err.
+
+    Returns (pts3d (N, 3), valid (N,) bool) at fixed shape; invalid slots
+    hold garbage and must be masked by the caller.
+    """
+    P1 = jnp.matmul(K, T_cw1[:3, :], precision="highest")
+    P2 = jnp.matmul(K, T_cw2[:3, :], precision="highest")
+    pts3d = triangulate_dlt(P1, P2, uv1, uv2)
+
+    proj2, z2 = project_points_T(pts3d, T_cw2, K)
+    err2 = jnp.linalg.norm(proj2 - uv2, axis=-1)
+
+    valid = (z2 > cfg.min_depth) & (err2 < cfg.max_reproj_err)
+    if valid_in is not None:
+        valid = valid & valid_in
+    return pts3d, valid
