@@ -195,7 +195,7 @@ class TestLinalg:
         E = (tx @ R).astype(np.float32)
         U, s, Vt = svd3(jnp.asarray(E[None]))
         s = np.asarray(s)[0]
-        assert s[2] < 1e-4 * s[0]
+        assert s[2] < 1e-3 * s[0]  # f32 eigh noise floor
         U = np.asarray(U)[0]
         np.testing.assert_allclose(U @ U.T, np.eye(3), atol=1e-4)
 

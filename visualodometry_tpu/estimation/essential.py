@@ -1,0 +1,214 @@
+"""Vectorized essential-matrix RANSAC and cheirality pose recovery.
+
+Replaces `cv2.findEssentialMat(method=RANSAC)` + `cv2.recoverPose`
+(reference: src/modules/vo.py:87-96) with a batched 8-point solver:
+
+- H minimal samples are solved simultaneously (each an eigh of a 9x9
+  normal matrix — MXU-friendly);
+- every hypothesis is scored against every correspondence with the Sampson
+  distance in one batched pass;
+- the winning model is re-fit on its inlier set (mask-weighted normal
+  equations), matching OpenCV's final refinement step;
+- pose recovery tests all four (R, t) decompositions by triangulating all
+  inliers for each candidate in a batch and counting positive depths.
+
+Conventions match OpenCV: for correspondences (uv0 in frame0, uv1 in
+frame1), E satisfies x1^T E x0 = 0 in normalized coordinates, and the
+recovered (R, t) maps frame0 camera coordinates to frame1: x1 = R x0 + t.
+The RANSAC threshold is in pixels and is rescaled by the mean focal length
+to apply in normalized coordinates, like OpenCV does.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from visualodometry_tpu.config import VOConfig
+from visualodometry_tpu.estimation.ransac import sample_valid_indices
+from visualodometry_tpu.geometry.camera import pixels_to_normalized
+from visualodometry_tpu.geometry.linalg import smallest_eigvec, svd3
+
+
+class EssentialResult(NamedTuple):
+    E: jnp.ndarray  # (3, 3)
+    inliers: jnp.ndarray  # (N,) bool
+    num_inliers: jnp.ndarray  # () int32
+    ok: jnp.ndarray  # () bool
+
+
+def _eight_point_system(x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
+    """Rows of the epipolar constraint x1^T E x0 = 0.
+
+    x0, x1: (..., N, 2) normalized coords. Returns (..., N, 9) with E
+    flattened row-major: [E00 E01 E02; E10 E11 E12; E20 E21 E22].
+    """
+    a, b = x0[..., 0], x0[..., 1]
+    c, d = x1[..., 0], x1[..., 1]
+    one = jnp.ones_like(a)
+    # x1^T E x0 = sum_ij E_ij * (x1_i * x0_j) with homogeneous 3rd coord 1
+    return jnp.stack(
+        [c * a, c * b, c, d * a, d * b, d, a, b, one], axis=-1
+    )
+
+
+def _solve_e_from_rows(A: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Least-squares essential matrix from constraint rows.
+
+    A: (..., N, 9); optional weights w: (..., N). Returns (..., 3, 3) with
+    the rank-2 / equal-singular-value constraint enforced via svd3.
+    """
+    if w is not None:
+        A = A * w[..., None]
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A, precision="highest")
+    e = smallest_eigvec(AtA)
+    E = e.reshape(e.shape[:-1] + (3, 3))
+    U, _, Vt = svd3(E)
+    # project to the essential manifold: singular values (1, 1, 0)
+    s_proj = jnp.array([1.0, 1.0, 0.0], dtype=E.dtype)
+    return jnp.einsum(
+        "...ij,j,...jk->...ik", U, s_proj, Vt, precision="highest"
+    )
+
+
+def _sampson_sq(E: jnp.ndarray, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
+    """Squared Sampson distance (first-order geometric error).
+
+    E: (..., 3, 3); x0, x1: (N, 2). Returns (..., N).
+    """
+    ones = jnp.ones_like(x0[..., :1])
+    X0 = jnp.concatenate([x0, ones], axis=-1)  # (N, 3)
+    X1 = jnp.concatenate([x1, ones], axis=-1)
+    Ex0 = jnp.einsum("...ij,nj->...ni", E, X0, precision="highest")
+    Etx1 = jnp.einsum("...ji,nj->...ni", E, X1, precision="highest")
+    x1Ex0 = jnp.sum(X1 * Ex0, axis=-1)
+    denom = (
+        Ex0[..., 0] ** 2 + Ex0[..., 1] ** 2 + Etx1[..., 0] ** 2 + Etx1[..., 1] ** 2
+    )
+    return (x1Ex0 * x1Ex0) / jnp.maximum(denom, 1e-12)
+
+
+def estimate_essential_ransac(
+    uv0: jnp.ndarray,
+    uv1: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: VOConfig,
+    key: jax.Array,
+) -> EssentialResult:
+    """Batched 8-point RANSAC over padded correspondence arrays.
+
+    uv0, uv1: (N, 2) pixel coords; valid: (N,) mask of live matches.
+    """
+    x0 = pixels_to_normalized(uv0, K)
+    x1 = pixels_to_normalized(uv1, K)
+
+    H = cfg.essential_hypotheses
+    idx = sample_valid_indices(key, valid, H, 8)  # (H, 8)
+
+    rows_all = _eight_point_system(x0, x1)  # (N, 9)
+    sample_rows = rows_all[idx]  # (H, 8, 9)
+    E_h = _solve_e_from_rows(sample_rows)  # (H, 3, 3)
+
+    # threshold in normalized coordinates (OpenCV divides by focal length)
+    f_mean = 0.5 * (K[0, 0] + K[1, 1])
+    thresh = cfg.init_ransac_thresh / f_mean
+    thresh_sq = thresh * thresh
+
+    d2 = _sampson_sq(E_h, x0, x1)  # (H, N)
+    inlier_mat = (d2 < thresh_sq) & valid[None, :]
+    counts = jnp.sum(inlier_mat, axis=1)
+    best = jnp.argmax(counts)
+
+    # final least-squares re-fit on the winning inlier set
+    best_inliers = inlier_mat[best]
+    E = _solve_e_from_rows(rows_all, best_inliers.astype(rows_all.dtype))
+    final_d2 = _sampson_sq(E, x0, x1)
+    final_inliers = (final_d2 < thresh_sq) & valid
+    num = jnp.sum(final_inliers).astype(jnp.int32)
+
+    # fall back to the raw winning hypothesis if the re-fit lost inliers
+    use_refit = num >= counts[best]
+    E = jnp.where(use_refit, E, E_h[best])
+    final_inliers = jnp.where(use_refit, final_inliers, inlier_mat[best])
+    num = jnp.maximum(num, counts[best]).astype(jnp.int32)
+
+    ok = num >= 8
+    return EssentialResult(E=E, inliers=final_inliers, num_inliers=num, ok=ok)
+
+
+def _triangulate_normalized(
+    R: jnp.ndarray, t: jnp.ndarray, x0: jnp.ndarray, x1: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DLT triangulation in normalized coords for P0=[I|0], P1=[R|t].
+
+    R: (..., 3, 3), t: (..., 3); x0, x1: (N, 2).
+    Returns (depth in cam0 (..., N), depth in cam1 (..., N)).
+    """
+    batch = R.shape[:-2]
+    N = x0.shape[0]
+    P0 = jnp.zeros(batch + (3, 4), dtype=R.dtype)
+    P0 = P0.at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0).at[..., 2, 2].set(1.0)
+    P1 = jnp.concatenate([R, t[..., :, None]], axis=-1)  # (..., 3, 4)
+
+    def rows(P, xy):
+        # (..., N, 2, 4): u*P2 - P0 ; v*P2 - P1
+        Pb = jnp.broadcast_to(P[..., None, :, :], batch + (N, 3, 4))
+        r0 = xy[..., 0:1] * Pb[..., 2, :] - Pb[..., 0, :]
+        r1 = xy[..., 1:2] * Pb[..., 2, :] - Pb[..., 1, :]
+        return jnp.stack([r0, r1], axis=-2)
+
+    A = jnp.concatenate([rows(P0, x0), rows(P1, x1)], axis=-2)  # (..., N, 4, 4)
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A, precision="highest")
+    X = smallest_eigvec(AtA)  # (..., N, 4)
+    w = X[..., 3]
+    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    pts = X[..., :3] / w_safe[..., None]
+    z0 = pts[..., 2]
+    z1 = (
+        jnp.einsum("...ij,...nj->...ni", R, pts, precision="highest")
+        + t[..., None, :]
+    )[..., 2]
+    return z0, z1
+
+
+def recover_pose(
+    E: jnp.ndarray,
+    uv0: jnp.ndarray,
+    uv1: jnp.ndarray,
+    inliers: jnp.ndarray,
+    K: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Choose (R, t) from E by batched cheirality voting over the inliers.
+
+    Equivalent to `cv2.recoverPose` (reference: src/modules/vo.py:96):
+    decompose E into the four candidate poses, triangulate every inlier
+    correspondence under each, and return the candidate with the most
+    points in front of both cameras. t has unit norm.
+    """
+    x0 = pixels_to_normalized(uv0, K)
+    x1 = pixels_to_normalized(uv1, K)
+
+    U, _, Vt = svd3(E)
+    # enforce proper rotations (det +1)
+    detU = jnp.linalg.det(U)
+    detVt = jnp.linalg.det(Vt)
+    U = U * jnp.sign(detU)
+    Vt = Vt * jnp.sign(detVt)
+
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    Ra = jnp.einsum("ij,jk,kl->il", U, W, Vt, precision="highest")
+    Rb = jnp.einsum("ij,jk,kl->il", U, W.T, Vt, precision="highest")
+    t_unit = U[:, 2]
+
+    R4 = jnp.stack([Ra, Ra, Rb, Rb])  # (4, 3, 3)
+    t4 = jnp.stack([t_unit, -t_unit, t_unit, -t_unit])  # (4, 3)
+
+    z0, z1 = _triangulate_normalized(R4, t4, x0, x1)  # (4, N) each
+    front = (z0 > 0) & (z1 > 0) & inliers[None, :]
+    votes = jnp.sum(front, axis=1)
+    best = jnp.argmax(votes)
+    return R4[best], t4[best]

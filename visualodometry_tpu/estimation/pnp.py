@@ -1,0 +1,217 @@
+"""Vectorized PnP RANSAC with damped Gauss-Newton refinement.
+
+Replaces `cv2.solvePnPRansac` (reference: src/modules/vo.py:135-141). The
+minimal solver is a 6-point DLT for the 3x4 pose matrix in normalized image
+coordinates (12x12 null space via eigh — batched over all hypotheses at
+once), followed by an orthogonal-Procrustes projection onto SE(3) and a
+cheirality-consistent sign choice. All hypotheses are scored against all
+correspondences by pixel reprojection error in one pass; the winner's
+inliers feed a fixed-iteration damped Gauss-Newton polish with analytic
+Jacobians (the same Jacobian blocks the BA solver uses).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from visualodometry_tpu.config import VOConfig
+from visualodometry_tpu.estimation.ransac import sample_valid_indices
+from visualodometry_tpu.geometry.camera import (
+    pixels_to_normalized,
+    project_points,
+    projection_jacobian_point,
+)
+from visualodometry_tpu.geometry.linalg import smallest_eigvec, svd3
+from visualodometry_tpu.geometry.se3 import make_T, se3_exp
+from visualodometry_tpu.geometry.so3 import so3_hat
+
+
+class PnPResult(NamedTuple):
+    T_cw: jnp.ndarray  # (4, 4) camera-from-world
+    inliers: jnp.ndarray  # (N,) bool
+    num_inliers: jnp.ndarray  # () int32
+    ok: jnp.ndarray  # () bool
+
+
+def _dlt_rows(X: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """DLT constraint rows for x ~ P [X; 1].
+
+    X: (..., N, 3) world points, xy: (..., N, 2) normalized pixels.
+    Returns (..., N, 2, 12) rows over vec(P) (row-major 3x4).
+    """
+    ones = jnp.ones_like(X[..., :1])
+    Xh = jnp.concatenate([X, ones], axis=-1)  # (..., N, 4)
+    zeros = jnp.zeros_like(Xh)
+    u = xy[..., 0:1]
+    v = xy[..., 1:2]
+    row_u = jnp.concatenate([Xh, zeros, -u * Xh], axis=-1)
+    row_v = jnp.concatenate([zeros, Xh, -v * Xh], axis=-1)
+    return jnp.stack([row_u, row_v], axis=-2)
+
+
+def _pose_from_P(P: jnp.ndarray, X_sample: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Project a (..., 3, 4) DLT solution onto SE(3).
+
+    Scale from the mean singular value of the rotation block, rotation from
+    orthogonal Procrustes, global sign from cheirality of the sample points.
+    Returns (R (..., 3, 3), t (..., 3)).
+    """
+    def decompose(Pm):
+        M = Pm[..., :, :3]
+        U, s, Vt = svd3(M)
+        det_uv = jnp.linalg.det(
+            jnp.einsum("...ij,...jk->...ik", U, Vt, precision="highest")
+        )
+        D = jnp.stack(
+            [jnp.ones_like(det_uv), jnp.ones_like(det_uv), det_uv], axis=-1
+        )
+        R = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt, precision="highest")
+        lam = jnp.mean(s, axis=-1)
+        t = Pm[..., :, 3] / jnp.maximum(lam[..., None], 1e-12)
+        return R, t
+
+    R_pos, t_pos = decompose(P)
+    R_neg, t_neg = decompose(-P)
+
+    def front_votes(R, t):
+        z = (
+            jnp.einsum("...ij,...nj->...ni", R, X_sample, precision="highest")
+            + t[..., None, :]
+        )[..., 2]
+        return jnp.sum(z > 0, axis=-1)
+
+    pick_pos = front_votes(R_pos, t_pos) >= front_votes(R_neg, t_neg)
+    R = jnp.where(pick_pos[..., None, None], R_pos, R_neg)
+    t = jnp.where(pick_pos[..., None], t_pos, t_neg)
+    return R, t
+
+
+def _reproj_err_sq(
+    R: jnp.ndarray, t: jnp.ndarray, X: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Squared pixel reprojection error. R: (..., 3, 3); X, uv: (N, ·)."""
+    p_cam = (
+        jnp.einsum("...ij,nj->...ni", R, X, precision="highest")
+        + t[..., None, :]
+    )
+    uv_hat, z = project_points(p_cam, K)
+    err = jnp.sum((uv_hat - uv) ** 2, axis=-1)
+    return err, z
+
+
+def refine_pose_gn(
+    T_cw: jnp.ndarray,
+    X: jnp.ndarray,
+    uv: jnp.ndarray,
+    weights: jnp.ndarray,
+    K: jnp.ndarray,
+    iters: int,
+    damping: float = 1e-3,
+) -> jnp.ndarray:
+    """Damped Gauss-Newton pose polish on weighted correspondences.
+
+    Minimizes sum_i w_i ||proj(K, T_cw X_i) - uv_i||^2 over a left-
+    multiplied se(3) perturbation, for a fixed iteration count (static
+    shape; weights of 0 drop points).
+    """
+
+    def body(_, T):
+        R = T[:3, :3]
+        t = T[:3, 3]
+        p_cam = (
+            jnp.einsum("ij,nj->ni", R, X, precision="highest") + t[None, :]
+        )
+        uv_hat, _ = project_points(p_cam, K)
+        r = uv_hat - uv  # (N, 2)
+        Jp = projection_jacobian_point(p_cam, K)  # (N, 2, 3)
+        # d p_cam / d xi with T <- exp(xi) T, xi = [rho, phi]
+        Jx = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), (X.shape[0], 3, 3)),
+                -so3_hat(p_cam),
+            ],
+            axis=-1,
+        )  # (N, 3, 6)
+        J = jnp.einsum("nij,njk->nik", Jp, Jx, precision="highest")  # (N, 2, 6)
+        w = weights[:, None, None]
+        H = jnp.einsum("nik,nil->nkl", J * w, J, precision="highest").sum(0)
+        b = jnp.einsum("nik,ni->nk", J * w, r, precision="highest").sum(0)
+        H = H + damping * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6, dtype=T.dtype)
+        delta = jnp.linalg.solve(H, b)
+        return se3_exp(-delta) @ T
+
+    return jax.lax.fori_loop(0, iters, body, T_cw)
+
+
+def solve_pnp_ransac(
+    pts3d: jnp.ndarray,
+    uv: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: VOConfig,
+    key: jax.Array,
+) -> PnPResult:
+    """Batched DLT-PnP RANSAC over padded 2D-3D correspondences.
+
+    pts3d: (N, 3) world points; uv: (N, 2) pixels; valid: (N,) live mask.
+    """
+    xy = pixels_to_normalized(uv, K)
+    H = cfg.pnp_hypotheses
+    idx = sample_valid_indices(key, valid, H, 6)  # (H, 6)
+
+    # Hartley-style conditioning of the 3D points (shared across hypotheses)
+    w_sum = jnp.maximum(jnp.sum(valid), 1.0)
+    centroid = jnp.sum(jnp.where(valid[:, None], pts3d, 0.0), axis=0) / w_sum
+    spread = (
+        jnp.sum(
+            jnp.where(valid, jnp.linalg.norm(pts3d - centroid, axis=-1), 0.0)
+        )
+        / w_sum
+    )
+    scale = jnp.where(spread > 1e-6, 1.0 / spread, 1.0)
+    Xn = (pts3d - centroid) * scale
+
+    X_s = Xn[idx]  # (H, 6, 3)
+    xy_s = xy[idx]  # (H, 6, 2)
+    rows = _dlt_rows(X_s, xy_s).reshape(H, 12, 12)
+    rows = rows / jnp.maximum(
+        jnp.linalg.norm(rows, axis=-1, keepdims=True), 1e-12
+    )
+    AtA = jnp.einsum("hni,hnj->hij", rows, rows, precision="highest")
+    p = smallest_eigvec(AtA)  # (H, 12)
+    P = p.reshape(H, 3, 4)
+    R_h, tn_h = _pose_from_P(P, X_s)  # pose wrt normalized points
+
+    # un-normalize: x = R Xn + tn = R s (X - c) + tn -> R_w = R, t = tn/s...
+    # P acts on Xn = s (X - c): p_cam/s' — scale sits in t and overall depth;
+    # recover metric t: p_cam = R (s (X - c)) + tn  ==>  metric p_cam' =
+    # p_cam / s = R X + (tn / s - R c)
+    t_h = tn_h / scale - jnp.einsum(
+        "hij,j->hi", R_h, centroid, precision="highest"
+    )
+
+    err_sq, z = _reproj_err_sq(R_h, t_h, pts3d, uv, K)  # (H, N)
+    thresh_sq = cfg.pnp_reproj_err * cfg.pnp_reproj_err
+    inlier_mat = (err_sq < thresh_sq) & (z > 0) & valid[None, :]
+    counts = jnp.sum(inlier_mat, axis=1)
+    best = jnp.argmax(counts)
+
+    T0 = make_T(R_h[best], t_h[best])
+    w = inlier_mat[best].astype(pts3d.dtype)
+    T_ref = refine_pose_gn(T0, pts3d, uv, w, K, cfg.pnp_refine_iters)
+
+    err_sq_f, z_f = _reproj_err_sq(T_ref[:3, :3], T_ref[:3, 3], pts3d, uv, K)
+    inliers_f = (err_sq_f < thresh_sq) & (z_f > 0) & valid
+    num_f = jnp.sum(inliers_f).astype(jnp.int32)
+
+    # keep the unrefined pose if the polish diverged (lost inliers)
+    keep_refined = num_f >= counts[best]
+    T_out = jnp.where(keep_refined, T_ref, T0)
+    inliers_out = jnp.where(keep_refined, inliers_f, inlier_mat[best])
+    num_out = jnp.maximum(num_f, counts[best]).astype(jnp.int32)
+
+    ok = num_out >= 6
+    return PnPResult(T_cw=T_out, inliers=inliers_out, num_inliers=num_out, ok=ok)
