@@ -1,0 +1,429 @@
+"""The per-frame VO step as one pure, jit-compiled function.
+
+Reproduces the behavior of `VisualOdometry.process_frame` + helpers
+(reference: src/modules/vo.py:49-299) — bootstrap, initialization
+(median-flow gate → essential-matrix RANSAC → recoverPose → global scale),
+tracking (landmark lookup → PnP RANSAC → speed-scale smoothing → id
+propagation → keyframe decision), keyframe creation with gated
+triangulation, and failure reset — with `lax.cond` branches instead of
+Python control flow and masks instead of dynamic shapes.
+
+Branch map (reference line numbers):
+  bootstrap            vo.py:56-61
+  init: flow gate      vo.py:75-85
+  init: E + recoverPose + global_scale   vo.py:87-110
+  track: lookup + min_inliers gate       vo.py:121-130
+  track: PnP           vo.py:135-149
+  track: speed smoothing                 vo.py:150-204
+  track: id propagation                  vo.py:206-210
+  track: keyframe decision               vo.py:212-238
+  reset                vo.py:240-245, 290-299
+  keyframe creation    vo.py:252-288
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from visualodometry_tpu.config import VOConfig
+from visualodometry_tpu.core.state import (
+    Keyframe,
+    StepOutput,
+    VOState,
+    features_as_keyframe,
+    init_map,
+    landmark_lookup,
+    register_landmarks,
+)
+from visualodometry_tpu.estimation.essential import (
+    estimate_essential_ransac,
+    recover_pose,
+)
+from visualodometry_tpu.estimation.pnp import solve_pnp_ransac
+from visualodometry_tpu.frontend.interface import Features
+from visualodometry_tpu.frontend.matcher import match_descriptors
+from visualodometry_tpu.geometry.se3 import make_T, se3_inverse
+from visualodometry_tpu.geometry.so3 import rotation_angle
+from visualodometry_tpu.geometry.triangulation import triangulate_points
+
+
+def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over masked entries, matching np.median's even-count average."""
+    big = jnp.float32(1e30)
+    vals = jnp.sort(jnp.where(mask, x, big))
+    n = jnp.sum(mask.astype(jnp.int32))
+    lo = jnp.maximum((n - 1) // 2, 0)
+    hi = jnp.maximum(n // 2, 0)
+    med = 0.5 * (vals[lo] + vals[hi])
+    return jnp.where(n > 0, med, 0.0)
+
+
+def make_step_fn(
+    cfg: VOConfig, K
+) -> Callable[[VOState, Features], tuple[VOState, StepOutput]]:
+    """Build the jittable step closure for a given config + intrinsics."""
+    K = jnp.asarray(K, jnp.float32)
+
+    def _output(
+        state: VOState,
+        *,
+        speed=0.0,
+        is_keyframe=False,
+        kf_reason=0,
+        did_reset=False,
+        median_flow=0.0,
+        num_tracked=0,
+        num_matches=0,
+        curr_ids=None,
+        match_idx=None,
+        match_valid=None,
+        n_slots: int = 0,
+    ) -> StepOutput:
+        return StepOutput(
+            T_wc=state.T_wc,
+            speed=jnp.float32(speed),
+            baseline_speed=state.baseline_speed,
+            initialized=state.initialized,
+            is_keyframe=jnp.asarray(is_keyframe, bool),
+            kf_reason=jnp.int32(kf_reason),
+            did_reset=jnp.asarray(did_reset, bool),
+            median_flow=jnp.float32(median_flow),
+            num_tracked=jnp.int32(num_tracked),
+            num_matches=jnp.int32(num_matches),
+            curr_ids=(
+                curr_ids
+                if curr_ids is not None
+                else jnp.full((n_slots,), -1, jnp.int32)
+            ),
+            match_idx=(
+                match_idx
+                if match_idx is not None
+                else jnp.zeros((n_slots,), jnp.int32)
+            ),
+            match_valid=(
+                match_valid
+                if match_valid is not None
+                else jnp.zeros((n_slots,), bool)
+            ),
+        )
+
+    def _create_keyframe(
+        state: VOState,
+        feats: Features,
+        curr_ids: jnp.ndarray,
+        match_idx: jnp.ndarray,
+        match_valid: jnp.ndarray,
+    ) -> tuple[VOState, jnp.ndarray]:
+        """Triangulate unmatched-to-map matches, register, swap keyframe.
+
+        (reference: src/modules/vo.py:252-288; triangulation gates at
+        src/modules/frontend.py:115-148.)
+        """
+        kf = state.keyframe
+        T_cw_ref = se3_inverse(kf.T_wc)
+        T_cw_curr = se3_inverse(state.T_wc)
+
+        # matches whose current keypoint has no landmark id yet
+        matched_curr_ids = jnp.where(
+            match_valid, curr_ids[match_idx], jnp.int32(0)
+        )
+        no_id = match_valid & (matched_curr_ids == -1)
+
+        uv_ref = kf.kps
+        uv_curr = feats.kps[match_idx]
+        pts3d, tri_valid = triangulate_points(
+            T_cw_ref, T_cw_curr, uv_ref, uv_curr, K, cfg, valid_in=no_id
+        )
+
+        new_map, new_ids = register_landmarks(state.map, pts3d, tri_valid)
+
+        n = curr_ids.shape[0]
+        scatter_to = jnp.where(tri_valid, match_idx, n)  # n -> dropped
+        curr_ids = curr_ids.at[scatter_to].set(new_ids, mode="drop")
+
+        new_kf = features_as_keyframe(feats, curr_ids, state.T_wc)
+        return (
+            state._replace(map=new_map, keyframe=new_kf, has_keyframe=jnp.asarray(True)),
+            curr_ids,
+        )
+
+    def _reset(state: VOState, cfg_desc_dim: int) -> VOState:
+        """Failure reset (reference: src/modules/vo.py:290-299)."""
+        kf = state.keyframe
+        cleared_kf = Keyframe(
+            kps=jnp.zeros_like(kf.kps),
+            desc=jnp.zeros_like(kf.desc),
+            kp_valid=jnp.zeros_like(kf.kp_valid),
+            ids=jnp.full_like(kf.ids, -1),
+            T_wc=jnp.eye(4, dtype=jnp.float32),
+        )
+        return state._replace(
+            initialized=jnp.asarray(False),
+            has_keyframe=jnp.asarray(False),
+            keyframe=cleared_kf,
+            map=init_map(cfg)._replace(next_id=state.map.next_id),
+            last_pos=jnp.zeros(3, jnp.float32),
+            baseline_speed=jnp.float32(1.0),
+        )
+
+    def step(state: VOState, feats: Features) -> tuple[VOState, StepOutput]:
+        n = feats.num_slots
+        kf = state.keyframe
+
+        key, k_ess, k_pnp = jax.random.split(state.rng_key, 3)
+        state = state._replace(rng_key=key)
+
+        match = match_descriptors(
+            kf.desc,
+            kf.kp_valid,
+            feats.desc,
+            feats.valid,
+            ratio=cfg.lowe_ratio,
+            mutual=cfg.mutual_check,
+        )
+        match_idx, match_valid = match.idx, match.valid
+        num_matches = jnp.sum(match_valid.astype(jnp.int32))
+
+        uv_ref = kf.kps
+        uv_curr = feats.kps[match_idx]
+        flow = jnp.linalg.norm(uv_ref - uv_curr, axis=-1)
+        median_flow = masked_median(flow, match_valid)
+
+        curr_ids0 = jnp.full((n,), -1, jnp.int32)
+
+        # ---------------- bootstrap: adopt first keyframe ----------------
+        def bootstrap(state: VOState):
+            new_kf = features_as_keyframe(
+                feats, curr_ids0, jnp.eye(4, dtype=jnp.float32)
+            )
+            state = state._replace(
+                keyframe=new_kf, has_keyframe=jnp.asarray(True)
+            )
+            return state, _output(state, n_slots=n, curr_ids=curr_ids0)
+
+        # ---------------- initialization ----------------
+        def initialize(state: VOState):
+            def rebootstrap(state):
+                # Robustness addition over the reference: if the adopted
+                # keyframe yields (almost) no matches — e.g. it was a
+                # degenerate frame right after a reset — replace it with
+                # the current frame instead of waiting forever (the
+                # reference would stall with a garbage keyframe; cf.
+                # src/modules/vo.py:75-85 which never swaps it).
+                new_kf = features_as_keyframe(
+                    feats, curr_ids0, jnp.eye(4, dtype=jnp.float32)
+                )
+                state = state._replace(keyframe=new_kf)
+                return state, _output(state, n_slots=n, curr_ids=curr_ids0)
+
+            def wait(state):
+                return state, _output(
+                    state,
+                    n_slots=n,
+                    curr_ids=curr_ids0,
+                    match_idx=match_idx,
+                    match_valid=match_valid,
+                    median_flow=median_flow,
+                    num_matches=num_matches,
+                )
+
+            def try_init(state):
+                ess = estimate_essential_ransac(
+                    uv_ref, uv_curr, match_valid, K, cfg, k_ess
+                )
+
+                def on_fail(state):
+                    return wait(state)
+
+                def on_ok(state):
+                    R, t = recover_pose(ess.E, uv_ref, uv_curr, ess.inliers, K)
+                    T_cw = make_T(R, t * cfg.global_scale)
+                    T_wc = se3_inverse(T_cw)
+                    current_pos = T_wc[:3, 3]
+                    # (reference: vo.py:104-110 — last_pos stays at the
+                    # origin after init; baseline = distance from origin)
+                    init_dist = jnp.linalg.norm(current_pos)
+                    state = state._replace(
+                        T_wc=T_wc,
+                        last_pos=jnp.zeros(3, jnp.float32),
+                        baseline_speed=init_dist,
+                        initialized=jnp.asarray(True),
+                    )
+                    state, curr_ids = _create_keyframe(
+                        state, feats, curr_ids0, match_idx, match_valid
+                    )
+                    return state, _output(
+                        state,
+                        n_slots=n,
+                        curr_ids=curr_ids,
+                        match_idx=match_idx,
+                        match_valid=match_valid,
+                        median_flow=median_flow,
+                        num_matches=num_matches,
+                        speed=init_dist,
+                        is_keyframe=True,
+                    )
+
+                return jax.lax.cond(ess.ok, on_ok, on_fail, state)
+
+            def init_normal(state):
+                return jax.lax.cond(
+                    median_flow < cfg.min_median_flow, wait, try_init, state
+                )
+
+            return jax.lax.cond(
+                num_matches < cfg.min_inliers, rebootstrap, init_normal, state
+            )
+
+        # ---------------- tracking ----------------
+        def track(state: VOState):
+            kf_ids = kf.ids  # (N,) landmark id per keyframe keypoint
+            lm_pts, lm_live = landmark_lookup(state.map, kf_ids)
+            pnp_valid = match_valid & lm_live
+            usable = jnp.sum(pnp_valid.astype(jnp.int32))
+
+            def lost(state):
+                # (reference: vo.py:243-245)
+                state = _reset(state, kf.desc.shape[1])
+                return state, _output(
+                    state,
+                    n_slots=n,
+                    curr_ids=curr_ids0,
+                    match_idx=match_idx,
+                    match_valid=match_valid,
+                    median_flow=median_flow,
+                    num_matches=num_matches,
+                    did_reset=True,
+                )
+
+            def run_pnp(state):
+                pnp = solve_pnp_ransac(
+                    lm_pts, uv_curr, pnp_valid, K, cfg, k_pnp
+                )
+
+                def pnp_failed(state):
+                    # (reference: vo.py:240-242)
+                    state = _reset(state, kf.desc.shape[1])
+                    return state, _output(
+                        state,
+                        n_slots=n,
+                        curr_ids=curr_ids0,
+                        match_idx=match_idx,
+                        match_valid=match_valid,
+                        median_flow=median_flow,
+                        num_matches=num_matches,
+                        did_reset=True,
+                    )
+
+                def pnp_ok(state):
+                    T_cw = pnp.T_cw
+                    T_wc_raw = se3_inverse(T_cw)
+                    raw_pos = T_wc_raw[:3, 3]
+
+                    # ---- speed-scale smoothing (vo.py:150-204) ----
+                    delta = raw_pos - state.last_pos
+                    raw_speed = jnp.linalg.norm(delta)
+                    R_prev_wc = state.T_wc[:3, :3]
+                    R_rel = jnp.matmul(
+                        T_cw[:3, :3], R_prev_wc, precision="highest"
+                    )
+                    rot_magnitude = rotation_angle(R_rel)
+
+                    is_turning = rot_magnitude > cfg.turn_thresh
+                    is_moving = raw_speed > cfg.move_thresh
+
+                    smoothing = jnp.where(
+                        is_turning, cfg.turn_smoothing, cfg.trans_smoothing
+                    )
+                    target_speed = (
+                        smoothing * state.baseline_speed
+                        + (1.0 - smoothing) * raw_speed
+                    )
+                    scale_factor = jnp.clip(
+                        target_speed / jnp.maximum(raw_speed, 1e-12),
+                        cfg.scale_clamp_min,
+                        cfg.scale_clamp_max,
+                    )
+                    # baseline EMA only while moving straight (vo.py:184-186)
+                    new_baseline = jnp.where(
+                        is_moving & ~is_turning,
+                        (1.0 - cfg.baseline_lr) * state.baseline_speed
+                        + cfg.baseline_lr * raw_speed,
+                        state.baseline_speed,
+                    )
+                    corrected_delta = delta * scale_factor
+                    pos_moving = state.last_pos + corrected_delta
+                    T_wc_moving = (
+                        T_wc_raw.at[:3, 3].set(pos_moving)
+                    )
+                    T_wc_new = jnp.where(is_moving, T_wc_moving, T_wc_raw)
+                    speed_plot = jnp.where(
+                        is_moving, jnp.linalg.norm(corrected_delta), 0.0
+                    )
+                    state = state._replace(
+                        T_wc=T_wc_new,
+                        last_pos=T_wc_new[:3, 3],
+                        baseline_speed=new_baseline,
+                        is_turning=jnp.where(
+                            is_moving, is_turning, state.is_turning
+                        ),
+                    )
+
+                    # ---- landmark-id propagation (vo.py:206-210) ----
+                    prop = pnp.inliers  # aligned with kf slots
+                    scatter_to = jnp.where(prop, match_idx, n)
+                    curr_ids = curr_ids0.at[scatter_to].set(
+                        jnp.where(prop, kf_ids, -1), mode="drop"
+                    )
+                    num_tracked = jnp.sum((curr_ids != -1).astype(jnp.int32))
+
+                    # ---- keyframe decision (vo.py:212-226) ----
+                    kf_flow = median_flow > cfg.min_median_flow
+                    kf_low = num_tracked < cfg.kf_min_tracked
+                    is_kf = kf_flow | kf_low
+                    reason = jnp.where(kf_flow, 1, jnp.where(kf_low, 2, 0))
+
+                    def with_kf(args):
+                        state, curr_ids = args
+                        return _create_keyframe(
+                            state, feats, curr_ids, match_idx, match_valid
+                        )
+
+                    def without_kf(args):
+                        return args
+
+                    state, curr_ids = jax.lax.cond(
+                        is_kf, with_kf, without_kf, (state, curr_ids)
+                    )
+                    return state, _output(
+                        state,
+                        n_slots=n,
+                        curr_ids=curr_ids,
+                        match_idx=match_idx,
+                        match_valid=match_valid,
+                        median_flow=median_flow,
+                        num_matches=num_matches,
+                        num_tracked=num_tracked,
+                        speed=speed_plot,
+                        is_keyframe=is_kf,
+                        kf_reason=reason,
+                    )
+
+                return jax.lax.cond(pnp.ok, pnp_ok, pnp_failed, state)
+
+            # (reference: vo.py:126 — strict '>' on min_inliers)
+            return jax.lax.cond(
+                usable > cfg.min_inliers, run_pnp, lost, state
+            )
+
+        def main(state: VOState):
+            return jax.lax.cond(state.initialized, track, initialize, state)
+
+        state, out = jax.lax.cond(state.has_keyframe, main, bootstrap, state)
+        state = state._replace(frame_id=state.frame_id + 1)
+        return state, out
+
+    return step

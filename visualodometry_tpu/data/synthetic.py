@@ -1,0 +1,153 @@
+"""Synthetic trajectory / scene generator for tests and benchmarks.
+
+Implements the SURVEY.md §4 integration-test plan: known K, poses, and
+landmarks rendered into keypoint tracks with controlled noise and outliers,
+driving the full state machine so ATE can be asserted against the
+generating trajectory. Also used by bench.py when no real dataset is on
+disk. (The reference has no tests; this replaces its qualitative visual
+validation with quantitative fixtures.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from visualodometry_tpu.frontend.interface import Features, pad_features
+
+K_DEFAULT = np.array(
+    [[718.856, 0.0, 607.1928], [0.0, 718.856, 185.2157], [0.0, 0.0, 1.0]],
+    dtype=np.float32,
+)
+
+
+@dataclass
+class SyntheticScene:
+    K: np.ndarray  # (3, 3)
+    image_size: tuple[int, int]  # (W, H)
+    landmarks: np.ndarray  # (L, 3) world points
+    base_desc: np.ndarray  # (L, D) unit descriptors
+    poses_T_wc: np.ndarray  # (F, 4, 4) ground-truth world-from-camera
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.poses_T_wc)
+
+    @property
+    def gt_positions(self) -> np.ndarray:
+        return self.poses_T_wc[:, :3, 3]
+
+
+def _yaw_T_wc(pos: np.ndarray, yaw: float) -> np.ndarray:
+    """Camera at `pos` looking along the yaw direction (y-down convention)."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    # camera z = forward (heading), x = right, y = down
+    forward = np.array([s, 0.0, c])
+    right = np.array([c, 0.0, -s])
+    down = np.array([0.0, 1.0, 0.0])
+    T = np.eye(4)
+    T[:3, 0] = right
+    T[:3, 1] = down
+    T[:3, 2] = forward
+    T[:3, 3] = pos
+    return T
+
+
+def make_scene(
+    rng: np.random.Generator,
+    num_frames: int = 60,
+    speed: float = 1.0,
+    turn_rate: float = 0.004,
+    num_landmarks: int = 6000,
+    desc_dim: int = 128,
+    image_size: tuple[int, int] = (1226, 370),
+    K: np.ndarray | None = None,
+) -> SyntheticScene:
+    """KITTI-like forward drive with a gentle curve and roadside landmarks."""
+    K = K_DEFAULT if K is None else K
+    poses = []
+    pos = np.zeros(3)
+    yaw = 0.0
+    for _ in range(num_frames):
+        poses.append(_yaw_T_wc(pos.copy(), yaw))
+        heading = np.array([np.sin(yaw), 0.0, np.cos(yaw)])
+        pos = pos + speed * heading
+        yaw += turn_rate * speed
+    poses = np.stack(poses)
+
+    # landmarks in a tube around the path: anchor to random frames, offset
+    # forward and laterally so every frame sees plenty of points
+    anchor = rng.integers(0, num_frames, num_landmarks)
+    T_anchor = poses[anchor]  # (L, 4, 4)
+    offs_cam = np.stack(
+        [
+            rng.uniform(-25, 25, num_landmarks),  # right
+            rng.uniform(-4, 3, num_landmarks),  # down (ground + above)
+            rng.uniform(5, 60, num_landmarks),  # forward depth
+        ],
+        axis=1,
+    )
+    landmarks = (
+        np.einsum("lij,lj->li", T_anchor[:, :3, :3], offs_cam)
+        + T_anchor[:, :3, 3]
+    )
+
+    base_desc = rng.normal(size=(num_landmarks, desc_dim)).astype(np.float32)
+    base_desc /= np.linalg.norm(base_desc, axis=1, keepdims=True)
+
+    return SyntheticScene(
+        K=K.astype(np.float32),
+        image_size=image_size,
+        landmarks=landmarks.astype(np.float32),
+        base_desc=base_desc,
+        poses_T_wc=poses.astype(np.float32),
+    )
+
+
+def render_features(
+    scene: SyntheticScene,
+    frame: int,
+    num_slots: int,
+    rng: np.random.Generator,
+    pixel_noise: float = 0.3,
+    desc_noise: float = 0.02,
+    outlier_frac: float = 0.0,
+    max_depth: float = 80.0,
+) -> Features:
+    """Project visible landmarks into the frame's camera as `Features`."""
+    T_wc = scene.poses_T_wc[frame]
+    R_cw = T_wc[:3, :3].T
+    t_cw = -R_cw @ T_wc[:3, 3]
+    p_cam = scene.landmarks @ R_cw.T + t_cw
+    z = p_cam[:, 2]
+    W, H = scene.image_size
+    uv = p_cam[:, :2] / np.maximum(z[:, None], 1e-6)
+    uv = uv * [scene.K[0, 0], scene.K[1, 1]] + [scene.K[0, 2], scene.K[1, 2]]
+    visible = (
+        (z > 1.0)
+        & (z < max_depth)
+        & (uv[:, 0] >= 0)
+        & (uv[:, 0] < W)
+        & (uv[:, 1] >= 0)
+        & (uv[:, 1] < H)
+    )
+    # deterministic priority (landmark index): mimics a response-ranked
+    # detector whose selection is stable across frames, so consecutive
+    # frames see largely the same subset when oversubscribed
+    idx = np.flatnonzero(visible)[:num_slots]
+
+    kps = uv[idx] + rng.normal(0, pixel_noise, (len(idx), 2))
+    desc = scene.base_desc[idx] + rng.normal(
+        0, desc_noise, (len(idx), scene.base_desc.shape[1])
+    ).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+    if outlier_frac > 0 and len(idx) > 0:
+        n_out = int(outlier_frac * len(idx))
+        out_sel = rng.choice(len(idx), n_out, replace=False)
+        kps[out_sel] = np.stack(
+            [rng.uniform(0, W, n_out), rng.uniform(0, H, n_out)], axis=1
+        )
+
+    return pad_features(kps.astype(np.float32), desc, num_slots)

@@ -1,0 +1,68 @@
+"""Descriptor matching: batched L2 kNN (k=2) + Lowe ratio test.
+
+Replaces `cv2.BFMatcher(NORM_L2).knnMatch(k=2)` + the per-match Python
+ratio loop (reference: src/modules/frontend.py:34,100-111). The O(N^2)
+distance matrix is a single MXU matmul (||a-b||^2 = |a|^2 + |b|^2 - 2ab);
+top-2 and the ratio test are masked reductions. The match list contract
+changes from a compacted (M, 2) int array (reference:
+src/modules/frontend.py:111) to a fixed-shape per-query representation:
+`match_idx[i] = j` with a validity mask — no compaction, no dynamic shapes.
+
+A fused Pallas kernel (ops/match_pallas.py) provides the same interface
+without materializing the N^2 matrix in HBM; this jnp version is the
+reference implementation and CPU path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class MatchResult(NamedTuple):
+    idx: jnp.ndarray  # (N0,) int32 — index into frame-1 slots per query
+    valid: jnp.ndarray  # (N0,) bool — passed validity + ratio (+ mutual)
+
+
+_BIG = jnp.float32(1e30)
+
+
+def match_descriptors(
+    desc0: jnp.ndarray,
+    valid0: jnp.ndarray,
+    desc1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    ratio: float = 0.75,
+    mutual: bool = False,
+) -> MatchResult:
+    """kNN(k=2) + Lowe ratio over padded descriptor sets.
+
+    desc0: (N0, D) queries (keyframe), desc1: (N1, D) train (current).
+    Distances are squared-L2; the ratio test compares against ratio^2,
+    which is exactly OpenCV's `m.distance < ratio * n.distance` on L2.
+    """
+    # squared L2 distance matrix on the MXU (bf16 inputs would be fine for
+    # ranking, but f32 keeps the ratio test faithful)
+    sq0 = jnp.sum(desc0 * desc0, axis=1)  # (N0,)
+    sq1 = jnp.sum(desc1 * desc1, axis=1)  # (N1,)
+    cross = jnp.dot(desc0, desc1.T, preferred_element_type=jnp.float32)
+    d2 = sq0[:, None] + sq1[None, :] - 2.0 * cross  # (N0, N1)
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = jnp.where(valid1[None, :], d2, _BIG)
+
+    # top-2 smallest per row without a full sort: min, then masked second min
+    best_idx = jnp.argmin(d2, axis=1)  # (N0,)
+    best_d2 = jnp.take_along_axis(d2, best_idx[:, None], axis=1)[:, 0]
+    d2_wo_best = d2.at[jnp.arange(d2.shape[0]), best_idx].set(_BIG)
+    second_d2 = jnp.min(d2_wo_best, axis=1)
+
+    r2 = jnp.float32(ratio * ratio)
+    ok = valid0 & (best_d2 < r2 * second_d2) & (best_d2 < _BIG)
+
+    if mutual:
+        d2_col = jnp.where(valid0[:, None], d2, _BIG)
+        best_col = jnp.argmin(d2_col, axis=0)  # (N1,)
+        ok = ok & (best_col[best_idx] == jnp.arange(desc0.shape[0]))
+
+    return MatchResult(idx=best_idx.astype(jnp.int32), valid=ok)
