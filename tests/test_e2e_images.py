@@ -1,0 +1,69 @@
+"""End-to-end smoke test: rendered images -> SIFT frontend -> VO core.
+
+The complete minimum slice of SURVEY.md §7 step 5: images in, trajectory
+out, no hand-fed features anywhere. Bounds are smoke-level (the synthetic
+dot-world is harder than real texture for SIFT); the feature-level and
+step-level tests carry the tight accuracy contracts.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from visualodometry_tpu.config import VOConfig
+from visualodometry_tpu.core import init_state, make_step_fn
+from visualodometry_tpu.data.synthetic import make_scene, render_image
+from visualodometry_tpu.eval import ate_rmse
+from visualodometry_tpu.frontend.sift import extract_sift
+
+
+def test_images_to_trajectory():
+    N = 1024
+    cfg = VOConfig(
+        extractor_type="sift",
+        max_keypoints=N,
+        sift_n_features=N,
+        sift_contrast_threshold=0.015,
+        sift_edge_threshold=10.0,
+        sift_num_octaves=3,
+        min_median_flow=3.0,
+        max_reproj_err=4.0,
+        pnp_reproj_err=2.0,
+        essential_hypotheses=256,
+        pnp_hypotheses=256,
+        map_capacity=8192,
+    )
+    rng = np.random.default_rng(11)
+    scene = make_scene(
+        rng,
+        num_frames=24,
+        speed=1.2,
+        turn_rate=0.002,
+        num_landmarks=1600,
+        image_size=(640, 360),
+    )
+    step = jax.jit(make_step_fn(cfg, scene.K))
+    state = init_state(cfg, desc_dim=128)
+    outs = []
+    for f in range(scene.num_frames):
+        img = render_image(scene, f, dot_sigma=2.0)
+        feats = extract_sift(jnp.asarray(img), cfg)
+        state, out = step(state, feats)
+        outs.append(jax.tree.map(np.asarray, out))
+
+    # extraction feeds enough keypoints and matching works
+    init_frames = [i for i, o in enumerate(outs) if bool(o.initialized)]
+    assert init_frames and init_frames[0] < 8
+    # tracking holds through the tail without resets
+    tail = outs[8:]
+    assert all(not bool(o.did_reset) for o in tail)
+    assert all(bool(o.initialized) for o in tail)
+    assert np.median([int(o.num_matches) for o in tail]) > 60
+
+    est = np.stack([o.T_wc[:3, 3] for o in outs])
+    seg = [i for i in range(8, scene.num_frames)]
+    ate = ate_rmse(est[seg], scene.gt_positions[seg], align="sim3")
+    # smoke-level bound (~29 m path): trajectory is globally consistent
+    assert ate < 2.0, f"ATE {ate:.2f} m"
+    # and the camera really travels forward
+    assert est[-1, 2] > est[8, 2] + 50

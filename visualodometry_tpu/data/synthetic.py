@@ -151,3 +151,65 @@ def render_features(
         )
 
     return pad_features(kps.astype(np.float32), desc, num_slots)
+
+
+def render_image(
+    scene: SyntheticScene,
+    frame: int,
+    max_depth: float = 80.0,
+    dot_sigma: float = 2.2,
+    supersample: int = 1,
+) -> np.ndarray:
+    """Render the frame as a grayscale image of Gaussian dots.
+
+    Each visible landmark becomes an anti-aliased blob whose intensity is a
+    stable per-landmark value — enough texture for the SIFT-style frontend
+    to detect and match across frames, with fully known geometry. Returns
+    (H, W) float32 in [0, 1].
+    """
+    W, H = scene.image_size
+    T_wc = scene.poses_T_wc[frame]
+    R_cw = T_wc[:3, :3].T
+    t_cw = -R_cw @ T_wc[:3, 3]
+    p_cam = scene.landmarks @ R_cw.T + t_cw
+    z = p_cam[:, 2]
+    uv = p_cam[:, :2] / np.maximum(z[:, None], 1e-6)
+    uv = uv * [scene.K[0, 0], scene.K[1, 1]] + [scene.K[0, 2], scene.K[1, 2]]
+    m = 3 * dot_sigma
+    vis = (
+        (z > 1.0)
+        & (z < max_depth)
+        & (uv[:, 0] >= -m)
+        & (uv[:, 0] < W + m)
+        & (uv[:, 1] >= -m)
+        & (uv[:, 1] < H + m)
+    )
+    idx = np.flatnonzero(vis)
+    img = np.zeros((H, W), np.float32)
+    # stable per-landmark intensity in [0.35, 1.0]
+    rng_int = np.random.default_rng(12345)
+    intensities = rng_int.uniform(0.35, 1.0, len(scene.landmarks)).astype(
+        np.float32
+    )
+    r = int(np.ceil(m))
+    ys = np.arange(-r, r + 1)
+    xs = np.arange(-r, r + 1)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    for i in idx:
+        cx, cy = uv[i]
+        x0, y0 = int(round(cx)), int(round(cy))
+        patch = intensities[i] * np.exp(
+            -((gx + x0 - cx) ** 2 + (gy + y0 - cy) ** 2) / (2 * dot_sigma**2)
+        )
+        ylo, yhi = y0 - r, y0 + r + 1
+        xlo, xhi = x0 - r, x0 + r + 1
+        py0, px0 = max(0, -ylo), max(0, -xlo)
+        ylo, xlo = max(0, ylo), max(0, xlo)
+        yhi, xhi = min(H, yhi), min(W, xhi)
+        if yhi <= ylo or xhi <= xlo:
+            continue
+        img[ylo:yhi, xlo:xhi] = np.maximum(
+            img[ylo:yhi, xlo:xhi],
+            patch[py0 : py0 + yhi - ylo, px0 : px0 + xhi - xlo],
+        )
+    return img
