@@ -34,7 +34,7 @@ def _load_xz_ground_truth(path: Path) -> np.ndarray | None:
     """Poses file -> (F, 2) array of (x, z) translations (columns 3, 11)."""
     if not path.exists():
         return None
-    poses = np.loadtxt(path)
+    poses = np.atleast_2d(np.loadtxt(path))
     return poses[:, [3, 11]]
 
 
