@@ -1,0 +1,164 @@
+"""Tests for the learned-model components (SuperPoint, attention matcher).
+
+Without released weights (no network), these verify the architecture
+contracts: shapes, masks, jit-ability, depth-to-space layout, NMS, the
+residual-identity initialization of the attention matcher (untrained ==
+dual-softmax mutual NN on descriptors), and torch->flax weight conversion
+round-trips on a synthetic checkpoint.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from visualodometry_tpu.config import VOConfig
+from visualodometry_tpu.models.attention_matcher import (
+    AttentionMatcher,
+    assignment_from_scores,
+    normalize_kps,
+)
+from visualodometry_tpu.models.superpoint import (
+    heatmap_from_logits,
+    init_superpoint,
+    nms_heatmap,
+    superpoint_extract,
+)
+
+
+class TestSuperPoint:
+    def test_shapes_and_jit(self):
+        model, params = init_superpoint(jax.random.key(0), input_hw=(120, 160))
+        img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (120, 160)),
+                          jnp.float32)
+        feats = jax.jit(
+            lambda im: superpoint_extract(model, params, im, max_keypoints=256)
+        )(img)
+        assert feats.kps.shape == (256, 2)
+        assert feats.desc.shape == (256, 256)
+        assert feats.valid.shape == (256,)
+        d = np.asarray(feats.desc)
+        v = np.asarray(feats.valid)
+        if v.any():
+            np.testing.assert_allclose(
+                np.linalg.norm(d[v], axis=1), 1.0, atol=1e-4
+            )
+
+    def test_depth_to_space_layout(self):
+        # put all probability mass in cell channel c=8*3+5 -> pixel (3, 5)
+        hc, wc = 2, 2
+        logits = np.full((hc, wc, 65), -10.0, np.float32)
+        logits[0, 0, 8 * 3 + 5] = 10.0
+        heat = np.asarray(heatmap_from_logits(jnp.asarray(logits)))
+        assert heat.shape == (16, 16)
+        assert np.unravel_index(heat.argmax(), heat.shape) == (3, 5)
+
+    def test_nms(self):
+        heat = np.zeros((32, 32), np.float32)
+        heat[10, 10] = 1.0
+        heat[12, 12] = 0.5  # within radius 4 of the stronger peak
+        heat[25, 25] = 0.8
+        out = np.asarray(nms_heatmap(jnp.asarray(heat), radius=4))
+        assert out[10, 10] == 1.0
+        assert out[12, 12] == 0.0
+        assert out[25, 25] == 0.8
+
+    def test_weight_conversion(self, tmp_path):
+        import torch
+
+        from visualodometry_tpu.models.convert import load_torch_superpoint
+
+        model, params = init_superpoint(jax.random.key(0), input_hw=(64, 64))
+        # synthesize a torch state_dict with the standard names/shapes
+        rng = np.random.default_rng(0)
+        shapes = {
+            "conv1a": (64, 1, 3, 3), "conv1b": (64, 64, 3, 3),
+            "conv2a": (64, 64, 3, 3), "conv2b": (64, 64, 3, 3),
+            "conv3a": (128, 64, 3, 3), "conv3b": (128, 128, 3, 3),
+            "conv4a": (128, 128, 3, 3), "conv4b": (128, 128, 3, 3),
+            "convPa": (256, 128, 3, 3), "convPb": (65, 256, 1, 1),
+            "convDa": (256, 128, 3, 3), "convDb": (256, 256, 1, 1),
+        }
+        sd = {}
+        for name, sh in shapes.items():
+            sd[f"{name}.weight"] = torch.tensor(
+                rng.normal(size=sh).astype(np.float32)
+            )
+            sd[f"{name}.bias"] = torch.tensor(
+                rng.normal(size=sh[0]).astype(np.float32)
+            )
+        ckpt = tmp_path / "sp.pth"
+        torch.save(sd, ckpt)
+
+        new_params = load_torch_superpoint(str(ckpt), params)
+        k = np.asarray(new_params["params"]["conv3a"]["kernel"])
+        expect = np.transpose(sd["conv3a.weight"].numpy(), (2, 3, 1, 0))
+        np.testing.assert_allclose(k, expect)
+        # converted params actually run
+        img = jnp.zeros((64, 64))
+        feats = superpoint_extract(model, new_params, img, max_keypoints=128)
+        assert np.isfinite(np.asarray(feats.desc)).all()
+
+
+class TestAttentionMatcher:
+    def _planted(self, rng, n=128, d=256, pairs=40):
+        base = rng.normal(size=(pairs, d)).astype(np.float32)
+        d0 = rng.normal(size=(n, d)).astype(np.float32)
+        d1 = rng.normal(size=(n, d)).astype(np.float32)
+        d0[:pairs] = base + 0.05 * rng.normal(size=(pairs, d))
+        d1[:pairs] = base + 0.05 * rng.normal(size=(pairs, d))
+        for arr in (d0, d1):
+            arr /= np.linalg.norm(arr, axis=1, keepdims=True)
+        return d0, d1
+
+    def test_untrained_is_mutual_nn(self, rng):
+        """Residual-identity init: matches planted pairs out of the box."""
+        n = 128
+        d0, d1 = self._planted(rng)
+        kps = rng.uniform(0, 500, (n, 2)).astype(np.float32)
+        valid = np.ones(n, bool)
+
+        model = AttentionMatcher(depth=3)
+        variables = model.init(
+            jax.random.key(0),
+            jnp.asarray(kps), jnp.asarray(d0), jnp.asarray(valid),
+            jnp.asarray(kps), jnp.asarray(d1), jnp.asarray(valid),
+        )
+        sim, m0, m1 = model.apply(
+            variables,
+            normalize_kps(jnp.asarray(kps), (500, 500)),
+            jnp.asarray(d0),
+            jnp.asarray(valid),
+            normalize_kps(jnp.asarray(kps), (500, 500)),
+            jnp.asarray(d1),
+            jnp.asarray(valid),
+        )
+        res = assignment_from_scores(
+            sim, m0, m1, jnp.asarray(valid), jnp.asarray(valid)
+        )
+        ok = np.asarray(res.valid)
+        idx = np.asarray(res.idx)
+        # planted pairs dominate; unplanted random descriptors mostly fail
+        assert ok[:40].mean() > 0.9
+        assert (idx[:40] == np.arange(40))[ok[:40]].all()
+        assert ok[40:].mean() < 0.2
+
+    def test_masking(self, rng):
+        n = 64
+        d0, d1 = self._planted(rng, n=n, pairs=20)
+        kps = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        valid0 = np.ones(n, bool)
+        valid1 = np.ones(n, bool)
+        valid1[:20] = False  # kill the train twins
+
+        model = AttentionMatcher(depth=2)
+        args = (
+            jnp.asarray(kps), jnp.asarray(d0), jnp.asarray(valid0),
+            jnp.asarray(kps), jnp.asarray(d1), jnp.asarray(valid1),
+        )
+        variables = model.init(jax.random.key(0), *args)
+        sim, m0, m1 = model.apply(variables, *args)
+        res = assignment_from_scores(
+            sim, m0, m1, jnp.asarray(valid0), jnp.asarray(valid1)
+        )
+        matched_targets = np.asarray(res.idx)[np.asarray(res.valid)]
+        assert not np.isin(matched_targets, np.arange(20)).any()

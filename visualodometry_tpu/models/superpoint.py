@@ -1,0 +1,149 @@
+"""SuperPoint keypoint detector/descriptor in Flax.
+
+Architecture-class reimplementation of the SuperPoint CNN the reference
+uses through the lightglue package (reference: src/modules/frontend.py:
+17-22,47-48; DeTone et al., "SuperPoint: Self-Supervised Interest Point
+Detection and Description"). VGG-style shared encoder; a 65-channel
+detector head whose softmax cells are depth-to-space'd into a full-res
+heatmap; a 256-D descriptor head sampled bilinearly at keypoint locations.
+
+TPU-first post-processing: NMS is a max-pool equality test over the whole
+heatmap, selection is one top-K into fixed keypoint slots with a validity
+mask — no dynamic shapes anywhere, so extract() jits into one program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from visualodometry_tpu.frontend.interface import Features
+
+
+class SuperPointBackbone(nn.Module):
+    """Encoder + detector/descriptor heads. Input (B, H, W, 1), H, W % 8 == 0."""
+
+    @nn.compact
+    def __call__(self, x):
+        def block(x, ch, name):
+            x = nn.Conv(ch, (3, 3), padding="SAME", name=f"{name}a")(x)
+            x = nn.relu(x)
+            x = nn.Conv(ch, (3, 3), padding="SAME", name=f"{name}b")(x)
+            x = nn.relu(x)
+            return x
+
+        x = block(x, 64, "conv1")
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = block(x, 64, "conv2")
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = block(x, 128, "conv3")
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = block(x, 128, "conv4")
+
+        # detector head: 65 = 8x8 cells + dustbin
+        det = nn.Conv(256, (3, 3), padding="SAME", name="convPa")(x)
+        det = nn.relu(det)
+        det = nn.Conv(65, (1, 1), name="convPb")(det)
+
+        # descriptor head: 256-D coarse grid
+        desc = nn.Conv(256, (3, 3), padding="SAME", name="convDa")(x)
+        desc = nn.relu(desc)
+        desc = nn.Conv(256, (1, 1), name="convDb")(desc)
+        desc = desc / jnp.maximum(
+            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8
+        )
+        return det, desc
+
+
+class SuperPointOutput(NamedTuple):
+    heatmap: jnp.ndarray  # (H, W) keypoint probability
+    coarse_desc: jnp.ndarray  # (H/8, W/8, 256) normalized
+
+
+def heatmap_from_logits(det_logits: jnp.ndarray) -> jnp.ndarray:
+    """(Hc, Wc, 65) logits -> (H, W) probability heatmap (depth-to-space)."""
+    prob = jax.nn.softmax(det_logits, axis=-1)[..., :64]  # drop dustbin
+    hc, wc, _ = prob.shape
+    prob = prob.reshape(hc, wc, 8, 8)
+    return prob.transpose(0, 2, 1, 3).reshape(hc * 8, wc * 8)
+
+
+def nms_heatmap(heat: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Suppress non-local-maxima: keep cells equal to their window max."""
+    k = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        heat,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(k, k),
+        window_strides=(1, 1),
+        padding=((radius, radius), (radius, radius)),
+    )
+    return jnp.where(heat >= pooled, heat, 0.0)
+
+
+def select_keypoints(
+    heat: jnp.ndarray,
+    coarse_desc: jnp.ndarray,
+    max_keypoints: int,
+    threshold: float = 0.005,
+    border: int = 4,
+) -> Features:
+    """Top-K over the NMS'd heatmap + bilinear descriptor sampling."""
+    H, W = heat.shape
+    nms = nms_heatmap(heat)
+    mask = jnp.zeros_like(nms, dtype=bool)
+    mask = mask.at[border : H - border, border : W - border].set(True)
+    nms = jnp.where(mask, nms, 0.0)
+
+    scores, idx = jax.lax.top_k(nms.reshape(-1), max_keypoints)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    valid = scores > threshold
+
+    # bilinear sample the coarse (H/8, W/8, 256) descriptor grid
+    gx = xs / 8.0 - 0.5
+    gy = ys / 8.0 - 0.5
+    hc, wc, D = coarse_desc.shape
+    gx = jnp.clip(gx, 0.0, wc - 1.001)
+    gy = jnp.clip(gy, 0.0, hc - 1.001)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    fx = (gx - x0)[:, None]
+    fy = (gy - y0)[:, None]
+    d = (
+        coarse_desc[y0, x0] * (1 - fx) * (1 - fy)
+        + coarse_desc[y0, x0 + 1] * fx * (1 - fy)
+        + coarse_desc[y0 + 1, x0] * (1 - fx) * fy
+        + coarse_desc[y0 + 1, x0 + 1] * fx * fy
+    )
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+
+    return Features(
+        kps=jnp.stack([xs, ys], axis=-1),
+        desc=d,
+        valid=valid,
+    )
+
+
+def init_superpoint(key, input_hw=(480, 640)):
+    model = SuperPointBackbone()
+    h, w = input_hw
+    params = model.init(key, jnp.zeros((1, h, w, 1)))
+    return model, params
+
+
+def superpoint_extract(
+    model: SuperPointBackbone,
+    params,
+    img: jnp.ndarray,
+    max_keypoints: int,
+    threshold: float = 0.005,
+) -> Features:
+    """(H, W) [0,1] image -> Features; H, W must be multiples of 8."""
+    det, desc = model.apply(params, img[None, :, :, None])
+    heat = heatmap_from_logits(det[0])
+    return select_keypoints(heat, desc[0], max_keypoints, threshold)
