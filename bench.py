@@ -1,20 +1,23 @@
 #!/usr/bin/env python
-"""Benchmark: VO step throughput on the real chip vs the CPU reference path.
+"""Benchmark: full VO pipeline throughput on the real chip vs CPU reference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Measures the steady-state per-frame cost of the jit-compiled VO core
-(descriptor matching + branch machinery + batched RANSAC PnP/essential +
-landmark map update) on a KITTI-like synthetic sequence at the reference's
-operating shapes (2048 keypoints, 128-D descriptors, 20k landmark map).
+Main metric — frames/sec of the COMPLETE per-frame pipeline (SIFT-style
+feature extraction + descriptor matching + RANSAC tracking + landmark map
+update) on KITTI-shaped images (1226x370, 4096 keypoint slots — the
+reference's KITTI SIFT operating point, reference: src/config/config.py:64),
+executed as chunked lax.scan programs so dispatch latency is amortized
+(core/runner.py).
 
-The baseline anchor re-implements the reference's per-frame hot path with
-the same libraries the reference uses (OpenCV BFMatcher kNN + Lowe ratio
-loop + solvePnPRansac; reference: src/modules/frontend.py:100-111,
-src/modules/vo.py:135-141) on this host's CPU, over the same synthetic
-data. Feature *extraction* is excluded from BOTH sides for now (the
-Pallas/XLA extractor lands in a later milestone; the reference's SIFT
-detect would only widen the gap in our favor).
+Baseline anchor — the reference's per-frame hot path rebuilt with the same
+libraries the reference calls (OpenCV SIFT detectAndCompute + BFMatcher
+kNN + Lowe ratio loop + solvePnPRansac; reference: src/modules/
+frontend.py:27-34,55,100-111, src/modules/vo.py:135-141) on this host's
+CPU over the same images.
+
+Also reported: BA solve latency for a 20-keyframe / 5120-landmark window
+(the BASELINE.md secondary metric; the reference has no BA at all).
 """
 
 from __future__ import annotations
@@ -24,62 +27,91 @@ import time
 
 import numpy as np
 
+N_SLOTS = 4096
+IMG_SIZE = (1226, 370)
+CHUNK = 8
 
-def _build_sequence(n_frames: int, n_slots: int, seed: int = 0):
-    from visualodometry_tpu.data.synthetic import make_scene, render_features
+
+def _build_cfg():
+    from visualodometry_tpu.config import get_config
+
+    return get_config("kitti", extractor="sift").replace(
+        max_keypoints=N_SLOTS,
+        sift_n_features=N_SLOTS,
+        sift_contrast_threshold=0.015,
+        sift_num_octaves=4,
+        min_median_flow=3.0,
+        pnp_reproj_err=2.0,
+    )
+
+
+def _build_images(n_frames: int, seed: int = 0):
+    from visualodometry_tpu.data.synthetic import make_scene, render_image
 
     rng = np.random.default_rng(seed)
     scene = make_scene(
-        rng, num_frames=n_frames, speed=1.2, turn_rate=0.003, num_landmarks=2500
+        rng,
+        num_frames=n_frames,
+        speed=1.2,
+        turn_rate=0.002,
+        num_landmarks=4000,
+        image_size=IMG_SIZE,
     )
-    feats = [
-        render_features(scene, f, n_slots, rng, pixel_noise=0.2)
-        for f in range(n_frames)
-    ]
-    return scene, feats
+    imgs = np.stack(
+        [render_image(scene, f, dot_sigma=2.0) for f in range(n_frames)]
+    )
+    return scene, imgs
 
 
-def bench_tpu_step(scene, feats, cfg, warmup: int = 10) -> float:
-    """Steady-state frames/sec of the jitted step on the default device."""
+def bench_tpu_pipeline(scene, imgs, cfg) -> float:
     import jax
+    import jax.numpy as jnp
 
-    from visualodometry_tpu.core import init_state, make_step_fn
+    from visualodometry_tpu.core import init_state
+    from visualodometry_tpu.core.runner import make_chunked_pipeline_fn
 
-    step = jax.jit(make_step_fn(cfg, scene.K), donate_argnums=(0,))
+    run = make_chunked_pipeline_fn(cfg, scene.K)
+    n_chunks = len(imgs) // CHUNK
+    chunks = [
+        jax.device_put(jnp.asarray(imgs[i * CHUNK : (i + 1) * CHUNK]))
+        for i in range(n_chunks)
+    ]
     state = init_state(cfg, desc_dim=128)
 
-    device = jax.devices()[0]
-    feats_dev = [jax.device_put(f, device) for f in feats]
-
-    for f in feats_dev[:warmup]:
-        state, out = step(state, f)
+    # warmup: compile + first chunk
+    state, out = run(state, chunks[0])
     jax.block_until_ready(out.T_wc)
 
     t0 = time.perf_counter()
-    for f in feats_dev[warmup:]:
-        state, out = step(state, f)
+    for c in chunks[1:]:
+        state, out = run(state, c)
     jax.block_until_ready(out.T_wc)
     dt = time.perf_counter() - t0
-    return (len(feats_dev) - warmup) / dt
+    return (len(chunks) - 1) * CHUNK / dt
 
 
-def bench_reference_cpu(scene, feats, cfg, n_frames: int = 12) -> float:
-    """Frames/sec of the reference's hot path (OpenCV, host CPU)."""
+def bench_reference_cpu(scene, imgs, n_frames: int = 6) -> float:
+    """Reference hot path: cv2 SIFT + BF kNN + ratio loop + PnP (host CPU)."""
     import cv2
 
     K = scene.K.astype(np.float64)
+    sift = cv2.SIFT_create(
+        nfeatures=4000, contrastThreshold=0.02, edgeThreshold=2.0, sigma=1.6
+    )
     matcher = cv2.BFMatcher(cv2.NORM_L2, crossCheck=False)
-
-    descs = [np.asarray(f.desc) for f in feats[: n_frames + 1]]
-    kpss = [np.asarray(f.kps) for f in feats[: n_frames + 1]]
-
-    # plausible 3D points for the PnP stage (depths like the scene's)
     rng = np.random.default_rng(1)
+
+    imgs8 = [(im * 255).astype(np.uint8) for im in imgs[: n_frames + 1]]
+    # prime detection for frame 0 outside the timed loop
+    kp_prev, des_prev = sift.detectAndCompute(imgs8[0], None)
 
     t0 = time.perf_counter()
     for i in range(1, n_frames + 1):
-        # kNN k=2 + Lowe ratio python loop (reference frontend.py:100-111)
-        knn = matcher.knnMatch(descs[i - 1], descs[i], k=2)
+        kp, des = sift.detectAndCompute(imgs8[i], None)
+        if des_prev is None or des is None or not len(des) or not len(des_prev):
+            kp_prev, des_prev = kp, des
+            continue
+        knn = matcher.knnMatch(des_prev, des, k=2)
         good = []
         for m_n in knn:
             if len(m_n) == 2:
@@ -89,20 +121,58 @@ def bench_reference_cpu(scene, feats, cfg, n_frames: int = 12) -> float:
         good = np.asarray(good, int)
         take = min(len(good), 500)
         if take >= 6:
-            idx = good[:take]
+            pts2d = np.array([kp[j].pt for j in good[:take, 1]], np.float64)
             pts3d = np.concatenate(
-                [
-                    kpss[i - 1][idx[:, 0]] * 0.02,
-                    rng.uniform(8, 50, (take, 1)),
-                ],
-                axis=1,
+                [pts2d * 0.02, rng.uniform(8, 50, (take, 1))], axis=1
             )
-            pts2d = kpss[i][idx[:, 1]].astype(np.float64)
             cv2.solvePnPRansac(
-                pts3d.astype(np.float64), pts2d, K, None, reprojectionError=1.0
+                pts3d, pts2d, K, None, reprojectionError=1.0
             )
+        kp_prev, des_prev = kp, des
     dt = time.perf_counter() - t0
     return n_frames / dt
+
+
+def bench_ba_solve_ms() -> float:
+    """BA solve wall time: 20 keyframes x 5120 landmarks, 8 GN iterations."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualodometry_tpu.ba import BAProblem, ba_solve
+
+    rng = np.random.default_rng(0)
+    P, L = 20, 5120
+    K = jnp.asarray(
+        [[718.856, 0, 607.1928], [0, 718.856, 185.2157], [0, 0, 1]],
+        jnp.float32,
+    )
+    X = np.stack(
+        [rng.uniform(-20, 20, L), rng.uniform(-5, 3, L), rng.uniform(8, 60, L)],
+        axis=1,
+    ).astype(np.float32)
+    T_cw = np.broadcast_to(np.eye(4, dtype=np.float32), (P, 4, 4)).copy()
+    T_cw[:, 2, 3] = -1.2 * np.arange(P)
+    pc = np.einsum("pij,lj->lpi", T_cw[:, :3, :3], X) + T_cw[:, :3, 3]
+    uv = pc[..., :2] / np.maximum(pc[..., 2:], 1e-6) * [718.856, 718.856] + [
+        607.1928,
+        185.2157,
+    ]
+    mask = pc[..., 2] > 1.0
+    prob = BAProblem(
+        T_cw=jnp.asarray(T_cw),
+        X=jnp.asarray(X + rng.normal(0, 0.1, X.shape).astype(np.float32)),
+        uv=jnp.asarray(uv.astype(np.float32)),
+        mask=jnp.asarray(mask),
+        K=K,
+    )
+    solve = jax.jit(lambda p: ba_solve(p, iters=8, damping=1e-4))
+    jax.block_until_ready(solve(prob).X)  # compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = solve(prob)
+    jax.block_until_ready(out.X)
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def main():
@@ -112,34 +182,27 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from visualodometry_tpu.config import get_config
+    cfg = _build_cfg()
+    scene, imgs = _build_images(n_frames=CHUNK * 4)
 
-    n_slots = 2048
-    cfg = get_config("kitti").replace(
-        max_keypoints=n_slots,
-        sift_n_features=n_slots,
-        min_median_flow=3.0,
-        pnp_reproj_err=2.0,
-    )
-
-    n_frames = 70
-    scene, feats = _build_sequence(n_frames, n_slots)
-
-    fps_tpu = bench_tpu_step(scene, feats, cfg)
-    fps_ref = bench_reference_cpu(scene, feats, cfg)
+    fps_tpu = bench_tpu_pipeline(scene, imgs, cfg)
+    fps_ref = bench_reference_cpu(scene, imgs)
+    ba_ms = bench_ba_solve_ms()
 
     print(
         json.dumps(
             {
-                "metric": "kitti_equiv_vo_step_fps_per_chip",
+                "metric": "kitti_equiv_full_pipeline_fps_per_chip",
                 "value": round(fps_tpu, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps_tpu / fps_ref, 2),
                 "baseline_fps_cpu_reference_path": round(fps_ref, 2),
+                "ba_solve_ms_20kf_5120lm": round(ba_ms, 2),
                 "note": (
-                    "VO core step (match+RANSAC+map) at 2048 kps/128-D on "
-                    "one chip vs reference OpenCV match+PnP path on host "
-                    "CPU; feature extraction excluded on both sides"
+                    "full per-frame pipeline (SIFT extract + match + RANSAC "
+                    "track + map) at 1226x370/4096 kps, chunked scan on one "
+                    "chip, vs reference OpenCV SIFT+match+PnP path on host "
+                    "CPU over the same images"
                 ),
             }
         )

@@ -1,0 +1,60 @@
+"""Chunked sequence runner: N frames per device dispatch via lax.scan.
+
+Per-frame dispatch latency (host -> device -> host round trip, which on a
+tunneled chip is milliseconds) would otherwise bound frames/sec. The
+runner scans the full per-frame pipeline — feature extraction + the VO
+step — over a stacked chunk of frames inside ONE jitted program: the
+host uploads C images, gets C compact outputs back, and the device never
+waits on the host inside a chunk. This is the TPU answer to the
+reference's per-frame Python loop (reference: src/main.py:58-64).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from visualodometry_tpu.config import VOConfig
+from visualodometry_tpu.core.state import StepOutput, VOState
+from visualodometry_tpu.core.step import make_step_fn
+from visualodometry_tpu.frontend.interface import Features
+
+
+def make_chunked_step_fn(
+    cfg: VOConfig, K
+) -> Callable[[VOState, Features], tuple[VOState, StepOutput]]:
+    """Chunk runner over precomputed features: feats pytree (C, ...)."""
+    step = make_step_fn(cfg, K)
+
+    @jax.jit
+    def run_chunk(state: VOState, feats_stack: Features):
+        return jax.lax.scan(step, state, feats_stack)
+
+    return run_chunk
+
+
+def make_chunked_pipeline_fn(
+    cfg: VOConfig, K
+) -> Callable[[VOState, jnp.ndarray], tuple[VOState, StepOutput]]:
+    """Chunk runner over raw images (C, H, W): extraction + step fused.
+
+    The SIFT extractor runs inside the scan body, so pyramid, detection,
+    descriptors, matching, RANSAC, and the map update for C frames
+    compile into a single XLA program.
+    """
+    from visualodometry_tpu.frontend.sift import extract_sift
+
+    step = make_step_fn(cfg, K)
+
+    @jax.jit
+    def run_chunk(state: VOState, imgs: jnp.ndarray):
+        def body(state, img):
+            feats = extract_sift(img, cfg)
+            return step(state, feats)
+
+        return jax.lax.scan(body, state, imgs)
+
+    return run_chunk

@@ -65,7 +65,18 @@ def make_scene(
     K: np.ndarray | None = None,
 ) -> SyntheticScene:
     """KITTI-like forward drive with a gentle curve and roadside landmarks."""
-    K = K_DEFAULT if K is None else K
+    if K is None:
+        if image_size == (1226, 370):
+            K = K_DEFAULT
+        else:
+            # scale the KITTI camera to the requested viewport: same
+            # field of view, principal point at the image center
+            W, H = image_size
+            f = 718.856 / 1226.0 * W
+            K = np.array(
+                [[f, 0.0, W / 2.0], [0.0, f, H / 2.0], [0.0, 0.0, 1.0]],
+                dtype=np.float32,
+            )
     poses = []
     pos = np.zeros(3)
     yaw = 0.0
