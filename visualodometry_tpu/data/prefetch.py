@@ -18,13 +18,20 @@ import numpy as np
 
 
 def decode_grayscale(path: Path | str) -> np.ndarray:
-    """Decode an image file to float32 grayscale in [0, 1]."""
+    """Decode an image file to float32 grayscale in [0, 1] (PIL)."""
     from PIL import Image
 
     with Image.open(path) as im:
         im = im.convert("L")
         arr = np.asarray(im, dtype=np.float32) / 255.0
     return arr
+
+
+def decode_auto(path: Path | str) -> np.ndarray:
+    """Prefer the native C++ decoder (PNG/PGM), fall back to PIL (JPEG...)."""
+    from visualodometry_tpu.data import native_decode
+
+    return native_decode.decode_gray(path)
 
 
 class PrefetchLoader:
@@ -38,7 +45,7 @@ class PrefetchLoader:
         self,
         paths: Iterable[Path | str],
         depth: int = 4,
-        decode=decode_grayscale,
+        decode=decode_auto,
     ) -> None:
         self.paths = list(paths)
         self.depth = depth
