@@ -199,3 +199,22 @@ class TestCli:
         stats = json.loads(last)
         assert stats["frames"] == 10
         assert stats["fps"] > 0
+
+
+class TestSuperPointEngine:
+    def test_superpoint_path_runs(self):
+        """Engine with the SuperPoint extractor (random weights): the
+        pipeline must run end-to-end and stay finite (matching quality
+        needs converted pretrained weights, unavailable offline)."""
+        rng = np.random.default_rng(0)
+        cfg = _cfg(extractor_type="superpoint", max_keypoints=256)
+        scene = make_scene(
+            rng, num_frames=3, speed=1.2, num_landmarks=900,
+            image_size=(320, 192),
+        )
+        engine = VOEngine(K=scene.K, cfg=cfg)
+        assert engine.desc_dim == 256
+        for f in range(3):
+            img = render_image(scene, f, dot_sigma=2.0)
+            out = engine.process_frame(img)
+        assert np.isfinite(np.asarray(out.T_wc)).all()

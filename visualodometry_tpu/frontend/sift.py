@@ -110,11 +110,23 @@ def _refine_subpixel(dogs: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.n
     (ds, dy, dx, refined_value), each (K,), offsets clipped to ±0.5.
     """
 
-    def cube_at(si, yi, xi):
-        return lax.dynamic_slice(dogs, (si - 1, yi - 1, xi - 1), (3, 3, 3))
-
-    cubes = jax.vmap(cube_at)(s, y, x)  # (K, 3, 3, 3)
-    c = cubes
+    # Gather the 27-neighborhoods as 27 offset lookups into the flattened
+    # stack — one vectorized gather per offset beats K vmapped
+    # dynamic_slices on TPU by an order of magnitude.
+    S2, H, W = dogs.shape
+    flat = dogs.reshape(-1)
+    # clamp so padded/invalid candidates still index in-bounds (their
+    # outputs are masked by the caller)
+    s = jnp.clip(s, 1, S2 - 2)
+    y = jnp.clip(y, 1, H - 2)
+    x = jnp.clip(x, 1, W - 2)
+    base = (s * H + y) * W + x  # (K,)
+    cube_cols = []
+    for ds in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                cube_cols.append(flat[base + (ds * H + dy) * W + dx])
+    c = jnp.stack(cube_cols, axis=-1).reshape(-1, 3, 3, 3)  # (K, 3, 3, 3)
     # gradient (first central differences): order (s, y, x)
     g = jnp.stack(
         [
@@ -186,35 +198,22 @@ def _gradients(stack: jnp.ndarray):
     return gx, gy
 
 
-def _bilinear_level(
+def _nearest_level(
     stack: jnp.ndarray, lvl: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
 ) -> jnp.ndarray:
-    """Bilinear sample of stack (Lvl, H, W) at per-keypoint levels.
+    """Nearest-pixel sample of stack (Lvl, H, W) at per-keypoint levels.
 
-    lvl: (K,), x/y: (K, M) float coords. The stack is flattened to
-    (Lvl*H, W) and rows are offset by lvl*H — one gather, no (K, H, W)
-    materialization. Clamping keeps the 2x2 tap inside the keypoint's own
-    level.
+    lvl: (K,), x/y: (K, M) float coords, one flat gather. Nearest (1 tap)
+    instead of bilinear (4 taps): the sampled fields are Gaussian-blurred
+    gradients, so sub-pixel interpolation buys almost nothing while the
+    gather is ~5x cheaper on TPU (measured 4 ms vs 22 ms at 2048x256).
     """
     Lvl, H, W = stack.shape
-    flat = stack.reshape(Lvl * H, W)
-    x = jnp.clip(x, 0.0, W - 1.001)
-    y = jnp.clip(y, 0.0, H - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    row = lvl[:, None] * H + y0
-    v00 = flat[row, x0]
-    v01 = flat[row, x0 + 1]
-    v10 = flat[row + 1, x0]
-    v11 = flat[row + 1, x0 + 1]
-    return (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
-    )
+    flat = stack.reshape(-1)
+    xi = jnp.clip(jnp.round(x), 0.0, W - 1.0).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(y), 0.0, H - 1.0).astype(jnp.int32)
+    idx = (lvl[:, None] * H + yi) * W + xi
+    return flat[idx]
 
 
 def compute_orientations(
@@ -242,8 +241,8 @@ def compute_orientations(
     ys = kps.xy[:, 1:2] + radius[:, None] * dv[None, :]
 
     lvl = jnp.clip(kps.scale_idx, 0, S_levels - 1)
-    gxs = _bilinear_level(gx_all, lvl, xs, ys)  # (K, 256)
-    gys = _bilinear_level(gy_all, lvl, xs, ys)
+    gxs = _nearest_level(gx_all, lvl, xs, ys)  # (K, 256)
+    gys = _nearest_level(gy_all, lvl, xs, ys)
 
     mag = jnp.sqrt(gxs * gxs + gys * gys)
     ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
@@ -255,10 +254,10 @@ def compute_orientations(
         (ang + jnp.pi) / (2 * jnp.pi) * _NUM_BINS
     ).astype(jnp.int32) % _NUM_BINS
 
-    def hist_one(b, wv):
-        return jnp.zeros(_NUM_BINS, w.dtype).at[b].add(wv)
-
-    hist = jax.vmap(hist_one)(bins, w)  # (K, 36)
+    # histogram as a one-hot contraction: lands on the MXU instead of a
+    # serialized scatter (measured ~0 ms vs 3.3 ms at 2048x256)
+    onehot = jax.nn.one_hot(bins, _NUM_BINS, dtype=w.dtype)  # (K, 256, 36)
+    hist = jnp.einsum("ksb,ks->kb", onehot, w)  # (K, 36)
     # circular smoothing [1,4,6,4,1]/16, applied twice
     def smooth(h):
         return (
@@ -309,8 +308,8 @@ def compute_descriptors(
     ys = kps.xy[:, 1:2] + oy
 
     lvl = jnp.clip(kps.scale_idx, 0, S_levels - 1)
-    gxs = _bilinear_level(gx_all, lvl, xs, ys)
-    gys = _bilinear_level(gy_all, lvl, xs, ys)
+    gxs = _nearest_level(gx_all, lvl, xs, ys)
+    gys = _nearest_level(gy_all, lvl, xs, ys)
 
     mag = jnp.sqrt(gxs * gxs + gys * gys)
     ang = jnp.arctan2(gys, gxs) - theta[:, None]
@@ -331,31 +330,32 @@ def compute_descriptors(
     fv = vb - v0
     fo = ob - o0
 
-    def accum_one(u0k, v0k, o0k, fuk, fvk, fok, wk):
-        desc = jnp.zeros((_DESC_GRID, _DESC_GRID, _DESC_BINS), w.dtype)
-        for di in (0, 1):
-            for dj in (0, 1):
-                for dk in (0, 1):
-                    uu = u0k + dj
-                    vv = v0k + di
-                    oo = (o0k + dk) % _DESC_BINS
-                    wt = (
-                        wk
-                        * (fuk if dj else 1 - fuk)
-                        * (fvk if di else 1 - fvk)
-                        * (fok if dk else 1 - fok)
-                    )
-                    ok = (uu >= 0) & (uu < _DESC_GRID) & (vv >= 0) & (vv < _DESC_GRID)
-                    uu_s = jnp.clip(uu, 0, _DESC_GRID - 1)
-                    vv_s = jnp.clip(vv, 0, _DESC_GRID - 1)
-                    desc = desc.at[vv_s, uu_s, oo].add(jnp.where(ok, wt, 0.0))
-        return desc.reshape(-1)
-
-    ub0 = jnp.broadcast_to(u0, (K, u0.shape[1]))
-    desc = jax.vmap(accum_one)(
-        ub0, jnp.broadcast_to(v0, ub0.shape), o0,
-        jnp.broadcast_to(fu, ub0.shape), jnp.broadcast_to(fv, ub0.shape), fo, w
-    )  # (K, 128)
+    # trilinear soft assignment as 8 one-hot contractions over the 128
+    # flat bins — all on the MXU, no per-keypoint scatters
+    n_flat = _DESC_GRID * _DESC_GRID * _DESC_BINS
+    desc = jnp.zeros((K, n_flat), w.dtype)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                uu = u0 + dj  # (1|K, 256)
+                vv = v0 + di
+                oo = (o0 + dk) % _DESC_BINS
+                wt = (
+                    w
+                    * (fu if dj else 1 - fu)
+                    * (fv if di else 1 - fv)
+                    * (fo if dk else 1 - fo)
+                )
+                ok = (uu >= 0) & (uu < _DESC_GRID) & (vv >= 0) & (vv < _DESC_GRID)
+                flat_bin = (
+                    jnp.clip(vv, 0, _DESC_GRID - 1) * _DESC_GRID
+                    + jnp.clip(uu, 0, _DESC_GRID - 1)
+                ) * _DESC_BINS + oo
+                flat_bin = jnp.broadcast_to(flat_bin, (K, flat_bin.shape[-1]))
+                onehot = jax.nn.one_hot(flat_bin, n_flat, dtype=w.dtype)
+                desc = desc + jnp.einsum(
+                    "ksb,ks->kb", onehot, jnp.where(ok, wt, 0.0)
+                )
 
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-8)
