@@ -162,3 +162,37 @@ class TestAttentionMatcher:
         )
         matched_targets = np.asarray(res.idx)[np.asarray(res.valid)]
         assert not np.isin(matched_targets, np.arange(20)).any()
+
+
+class TestSuperPointPretraining:
+    def test_loss_decreases_and_detects(self):
+        """Short CPU pretraining run: loss drops and blobs get detected."""
+        from visualodometry_tpu.models.train_superpoint import (
+            pretrain,
+            synthetic_batch,
+        )
+        from visualodometry_tpu.models.superpoint import superpoint_extract
+
+        model, params, losses = pretrain(
+            steps=60, batch=8, lr=2e-3, hw=(64, 64), log_every=59
+        )
+        assert losses[-1] < losses[0] * 0.5
+
+    def test_bundled_weights_load(self):
+        """The shipped synthetic-pretrained weights load and detect."""
+        from visualodometry_tpu.frontend.superpoint import (
+            _default_weights_path,
+            make_superpoint_extractor,
+        )
+        from visualodometry_tpu.config import VOConfig
+        from visualodometry_tpu.models.train_superpoint import synthetic_batch
+
+        assert _default_weights_path().exists()
+        cfg = VOConfig(extractor_type="superpoint", max_keypoints=128,
+                       sift_n_features=128)
+        extract = make_superpoint_extractor(cfg)
+        rng = np.random.default_rng(2)
+        b = synthetic_batch(rng, batch=1, hw=(96, 128))
+        feats = extract(b.img0[0])
+        v = np.asarray(feats.valid)
+        assert v.sum() >= 5  # pretrained detector fires on blob images

@@ -47,6 +47,7 @@ class VOConfig:
     # matcher
     lowe_ratio: float = 0.75  # (reference: src/modules/frontend.py:104)
     mutual_check: bool = False  # reference BFMatcher uses crossCheck=False
+    matcher_backend: str = "auto"  # "auto" | "jnp" | "pallas"
 
     # -- initialization & keyframes (reference: src/config/config.py:25-28) -
     min_median_flow: float = 20.0

@@ -183,6 +183,7 @@ def make_step_fn(
             feats.valid,
             ratio=cfg.lowe_ratio,
             mutual=cfg.mutual_check,
+            backend=cfg.matcher_backend,
         )
         match_idx, match_valid = match.idx, match.valid
         num_matches = jnp.sum(match_valid.astype(jnp.int32))

@@ -32,15 +32,35 @@ def _pad_to_multiple(img: jnp.ndarray, m: int = 8) -> jnp.ndarray:
     return img
 
 
+def _default_weights_path():
+    from pathlib import Path
+
+    return (
+        Path(__file__).resolve().parent.parent
+        / "models"
+        / "weights"
+        / "superpoint_synthetic.pkl"
+    )
+
+
 def make_superpoint_extractor(
     cfg: VOConfig, checkpoint_path: str | None = None, seed: int = 0
 ):
-    """Returns extract(img (H, W) [0,1]) -> Features, jitted per shape."""
+    """Returns extract(img (H, W) [0,1]) -> Features, jitted per shape.
+
+    Weight resolution order: explicit torch checkpoint (converted) >
+    bundled synthetic-pretrained weights (models/train_superpoint.py,
+    MagicPoint-style) > random init.
+    """
     model, params = init_superpoint(jax.random.key(seed))
     if checkpoint_path is not None:
         from visualodometry_tpu.models.convert import load_torch_superpoint
 
         params = load_torch_superpoint(checkpoint_path, params)
+    elif _default_weights_path().exists():
+        from visualodometry_tpu.models.train_superpoint import load_params
+
+        params = load_params(_default_weights_path())
 
     @partial(jax.jit, static_argnames=())
     def _extract(img: jnp.ndarray) -> Features:
