@@ -49,12 +49,17 @@ def make_chunked_pipeline_fn(
 
     step = make_step_fn(cfg, K)
 
-    @jax.jit
+    # Two programs per chunk rather than one: extraction has no frame-to-
+    # frame dependency and vmaps across the chunk; the sequential VO step
+    # scans over the extracted features. Keeping them as separate
+    # dispatches compiles far faster and (empirically) avoids a TPU
+    # runtime fault observed in the single fused program; dispatch count
+    # is still O(1) per chunk.
+    vextract = jax.jit(jax.vmap(lambda im: extract_sift(im, cfg)))
+    scan_step = jax.jit(lambda st, fs: jax.lax.scan(step, st, fs))
+
     def run_chunk(state: VOState, imgs: jnp.ndarray):
-        # extraction has no frame-to-frame dependency: vmap it across the
-        # whole chunk (fills the chip far better than C sequential
-        # extractions), then scan only the sequential VO step
-        feats_stack = jax.vmap(lambda im: extract_sift(im, cfg))(imgs)
-        return jax.lax.scan(step, state, feats_stack)
+        feats_stack = vextract(imgs)
+        return scan_step(state, feats_stack)
 
     return run_chunk
