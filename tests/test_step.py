@@ -166,3 +166,19 @@ class TestStepEdgeCases:
         state, outs = _run_sequence(cfg, scene, feats)
         assert any(bool(o.did_reset) for o in outs[8:12])
         assert bool(outs[-1].initialized)
+
+
+class TestAttentionMatcherStep:
+    def test_attention_matcher_tracks(self):
+        """The step with matcher_type='attention' (identity-residual init)
+        initializes and tracks the synthetic drive like the ratio path."""
+        rng = np.random.default_rng(7)
+        cfg = _cfg(matcher_type="attention", attention_depth=2)
+        scene = make_scene(rng, num_frames=12, speed=1.2, turn_rate=0.003)
+        feats = [
+            render_features(scene, f, N_SLOTS, rng, pixel_noise=0.2)
+            for f in range(scene.num_frames)
+        ]
+        state, outs = _run_sequence(cfg, scene, feats)
+        assert any(bool(o.initialized) for o in outs)
+        assert int(outs[-1].num_matches) > 100

@@ -48,6 +48,9 @@ class VOConfig:
     lowe_ratio: float = 0.75  # (reference: src/modules/frontend.py:104)
     mutual_check: bool = False  # reference BFMatcher uses crossCheck=False
     matcher_backend: str = "auto"  # "auto" | "jnp" | "pallas"
+    matcher_type: str = "ratio"  # "ratio" (kNN+Lowe) | "attention"
+    attention_depth: int = 6  # attention-matcher blocks (LightGlue uses 9)
+    image_size: tuple = (1226, 370)  # (W, H) for kp normalization
 
     # -- initialization & keyframes (reference: src/config/config.py:25-28) -
     min_median_flow: float = 20.0

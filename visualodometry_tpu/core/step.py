@@ -62,10 +62,68 @@ def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_step_fn(
-    cfg: VOConfig, K
+    cfg: VOConfig, K, matcher_params=None
 ) -> Callable[[VOState, Features], tuple[VOState, StepOutput]]:
-    """Build the jittable step closure for a given config + intrinsics."""
+    """Build the jittable step closure for a given config + intrinsics.
+
+    cfg.matcher_type selects the correspondence engine: "ratio" is the
+    kNN+Lowe matcher (reference SIFT path semantics); "attention" runs
+    the LightGlue-class attention matcher (models/attention_matcher.py)
+    with `matcher_params` (initialized at identity-residual if None, i.e.
+    dual-softmax mutual-NN behavior out of the box — the reference's
+    LightGlue path without its unfetchable released weights).
+    """
     K = jnp.asarray(K, jnp.float32)
+
+    attention_model = None
+    if cfg.matcher_type == "attention":
+        from visualodometry_tpu.models.attention_matcher import (
+            AttentionMatcher,
+        )
+
+        attention_model = AttentionMatcher(depth=cfg.attention_depth)
+        if matcher_params is None:
+            # identity-residual init == dual-softmax mutual-NN matching
+            d = 256 if cfg.extractor_type == "superpoint" else 128
+            n = cfg.padded_keypoints
+            matcher_params = attention_model.init(
+                jax.random.key(cfg.seed),
+                jnp.zeros((n, 2)),
+                jnp.zeros((n, d)),
+                jnp.zeros((n,), bool),
+                jnp.zeros((n, 2)),
+                jnp.zeros((n, d)),
+                jnp.zeros((n,), bool),
+            )
+
+    def _match(kf, feats):
+        if cfg.matcher_type == "attention":
+            from visualodometry_tpu.models.attention_matcher import (
+                assignment_from_scores,
+                normalize_kps,
+            )
+
+            sim, m0, m1 = attention_model.apply(
+                matcher_params,
+                normalize_kps(kf.kps, cfg.image_size),
+                kf.desc,
+                kf.kp_valid,
+                normalize_kps(feats.kps, cfg.image_size),
+                feats.desc,
+                feats.valid,
+            )
+            return assignment_from_scores(
+                sim, m0, m1, kf.kp_valid, feats.valid
+            )
+        return match_descriptors(
+            kf.desc,
+            kf.kp_valid,
+            feats.desc,
+            feats.valid,
+            ratio=cfg.lowe_ratio,
+            mutual=cfg.mutual_check,
+            backend=cfg.matcher_backend,
+        )
 
     def _output(
         state: VOState,
@@ -176,15 +234,7 @@ def make_step_fn(
         key, k_ess, k_pnp = jax.random.split(state.rng_key, 3)
         state = state._replace(rng_key=key)
 
-        match = match_descriptors(
-            kf.desc,
-            kf.kp_valid,
-            feats.desc,
-            feats.valid,
-            ratio=cfg.lowe_ratio,
-            mutual=cfg.mutual_check,
-            backend=cfg.matcher_backend,
-        )
+        match = _match(kf, feats)
         match_idx, match_valid = match.idx, match.valid
         num_matches = jnp.sum(match_valid.astype(jnp.int32))
 
