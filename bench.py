@@ -72,22 +72,20 @@ def bench_tpu_pipeline(scene, imgs, cfg) -> float:
 
     run = make_chunked_pipeline_fn(cfg, scene.K)
     n_chunks = len(imgs) // CHUNK
-    chunks = [
-        jax.device_put(jnp.asarray(imgs[i * CHUNK : (i + 1) * CHUNK]))
-        for i in range(n_chunks)
-    ]
     state = init_state(cfg, desc_dim=128)
 
-    # warmup: compile + first chunk
-    state, out = run(state, chunks[0])
-    jax.block_until_ready(out.T_wc)
+    # warmup: compile + first chunk (np.asarray = reliable device sync)
+    state, out = run(state, jnp.asarray(imgs[:CHUNK]))
+    np.asarray(out.T_wc)
 
     t0 = time.perf_counter()
-    for c in chunks[1:]:
-        state, out = run(state, c)
-    jax.block_until_ready(out.T_wc)
+    for i in range(1, n_chunks):
+        state, out = run(
+            state, jnp.asarray(imgs[i * CHUNK : (i + 1) * CHUNK])
+        )
+    np.asarray(out.T_wc)
     dt = time.perf_counter() - t0
-    return (len(chunks) - 1) * CHUNK / dt
+    return (n_chunks - 1) * CHUNK / dt
 
 
 def bench_reference_cpu(scene, imgs, n_frames: int = 6) -> float:
