@@ -78,3 +78,53 @@ class TestNativeDecoder:
         _write_png(p, arr, "L")
         out = native_decode.decode_gray(p)
         np.testing.assert_allclose(out, arr / 255.0, atol=1e-6)
+
+
+class TestNativeJpeg:
+    def test_baseline_jpeg_gray(self, tmp_path, lib, rng):
+        arr = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+        p = tmp_path / "g.jpg"
+        Image.fromarray(arr, mode="L").save(p, quality=95)
+        assert native_decode.image_info(p) == (64, 48)
+        out = native_decode.decode_gray(p)
+        ref = np.asarray(Image.open(p).convert("L"), np.float32) / 255.0
+        # JPEG is lossy; compare against PIL's decode of the same file
+        assert np.abs(out - ref).mean() < 0.01
+        assert np.abs(out - ref).max() < 0.08
+
+    def test_color_jpeg_420(self, tmp_path, lib, rng):
+        # smooth color image (random noise stresses chroma ringing)
+        yy, xx = np.mgrid[0:96:1, 0:128:1].astype(np.float32)
+        r = (127 + 80 * np.sin(xx / 9) * np.cos(yy / 7)).astype(np.uint8)
+        g = (127 + 80 * np.cos(xx / 13)).astype(np.uint8)
+        b = (127 + 80 * np.sin(yy / 11)).astype(np.uint8)
+        arr = np.stack([r, g, b], -1)
+        p = tmp_path / "c.jpg"
+        Image.fromarray(arr, mode="RGB").save(
+            p, quality=90, subsampling=2  # 4:2:0
+        )
+        out = native_decode.decode_gray(p)
+        # PIL converts via full YCbCr; our luma-only decode equals the Y
+        # channel of the file
+        ycc = np.asarray(Image.open(p).convert("YCbCr"), np.float32)
+        ref = ycc[..., 0] / 255.0
+        assert out.shape == ref.shape
+        assert np.abs(out - ref).mean() < 0.01
+
+    def test_restart_markers(self, tmp_path, lib, rng):
+        arr = rng.integers(0, 256, (64, 80), dtype=np.uint8)
+        p = tmp_path / "r.jpg"
+        # PIL writes DRI segments when restart markers requested
+        Image.fromarray(arr, mode="L").save(p, quality=92, restart_marker_rows=2)
+        out = native_decode.decode_gray(p)
+        ref = np.asarray(Image.open(p).convert("L"), np.float32) / 255.0
+        assert np.abs(out - ref).mean() < 0.01
+
+    def test_progressive_falls_back(self, tmp_path, lib, rng):
+        arr = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        p = tmp_path / "prog.jpg"
+        Image.fromarray(arr, mode="L").save(p, quality=90, progressive=True)
+        # native parser rejects; python wrapper falls back to PIL
+        out = native_decode.decode_gray(p)
+        ref = np.asarray(Image.open(p).convert("L"), np.float32) / 255.0
+        np.testing.assert_allclose(out, ref, atol=1e-6)

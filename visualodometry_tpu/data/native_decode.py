@@ -35,6 +35,7 @@ def _build() -> bool:
                 "-shared",
                 "-fPIC",
                 str(_SRC),
+                str(_SRC.parent / "jpeg.cpp"),
                 "-o",
                 str(_LIB),
                 "-lz",
@@ -55,7 +56,10 @@ def get_lib():
         return _lib
     if _build_failed:
         return None
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+    newest_src = max(
+        _SRC.stat().st_mtime, (_SRC.parent / "jpeg.cpp").stat().st_mtime
+    )
+    if not _LIB.exists() or _LIB.stat().st_mtime < newest_src:
         if not _build():
             _build_failed = True
             return None

@@ -25,6 +25,12 @@
 #include <thread>
 #include <vector>
 
+namespace vojpeg_api {
+bool jpeg_info(const uint8_t* data, size_t size, int* w, int* h);
+bool jpeg_decode_gray(const uint8_t* data, size_t size, float* out, int w,
+                      int h);
+}  // namespace vojpeg_api
+
 namespace {
 
 struct Buffer {
@@ -240,11 +246,18 @@ bool decode_pgm_gray(const Buffer& buf, float* out, int w, int h) {
   return true;
 }
 
+bool is_jpeg(const Buffer& buf) {
+  return buf.data.size() >= 4 && buf.data[0] == 0xFF && buf.data[1] == 0xD8;
+}
+
 bool decode_gray(const char* path, float* out, int w, int h) {
   Buffer buf;
   if (!read_file(path, &buf)) return false;
   if (buf.data.size() >= 8 && memcmp(buf.data.data(), kPngSig, 8) == 0)
     return decode_png_gray(buf, out, w, h);
+  if (is_jpeg(buf))
+    return vojpeg_api::jpeg_decode_gray(buf.data.data(), buf.data.size(),
+                                        out, w, h);
   return decode_pgm_gray(buf, out, w, h);
 }
 
@@ -262,6 +275,11 @@ int vo_image_info(const char* path, int* w, int* h) {
     *w = int(hdr.width);
     *h = int(hdr.height);
     return 0;
+  }
+  if (buf.data.size() >= 4 && buf.data[0] == 0xFF && buf.data[1] == 0xD8) {
+    if (vojpeg_api::jpeg_info(buf.data.data(), buf.data.size(), w, h))
+      return 0;
+    return -4;  // unsupported JPEG flavor (progressive, ...)
   }
   int maxval;
   size_t off;
