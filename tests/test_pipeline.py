@@ -218,3 +218,39 @@ class TestSuperPointEngine:
             img = render_image(scene, f, dot_sigma=2.0)
             out = engine.process_frame(img)
         assert np.isfinite(np.asarray(out.T_wc)).all()
+
+
+class TestCliChunked:
+    def test_chunked_mode(self, tmp_path, capsys):
+        from PIL import Image
+
+        from visualodometry_tpu import cli
+
+        rng = np.random.default_rng(3)
+        scene = make_scene(
+            rng, num_frames=12, speed=1.2, num_landmarks=1600,
+            image_size=(320, 180),
+        )
+        root = tmp_path / "kitti"
+        img_dir = root / "05" / "image_0"
+        img_dir.mkdir(parents=True)
+        for f in range(scene.num_frames):
+            img = (render_image(scene, f, dot_sigma=1.8) * 255).astype(np.uint8)
+            Image.fromarray(img).save(img_dir / f"{f:06d}.png")
+        (root / "poses").mkdir()
+        poses = np.zeros((scene.num_frames, 12))
+        poses[:, 3] = scene.gt_positions[:, 0]
+        poses[:, 11] = scene.gt_positions[:, 2]
+        np.savetxt(root / "poses" / "05.txt", poses)
+
+        rc = cli.main(
+            [
+                "--dataset", "kitti", "--path", str(tmp_path),
+                "--sequence", "05", "--extractor", "sift", "--chunk", "4",
+                "--max-keypoints", "512",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["frames"] == 12
+        assert stats["fps"] > 0

@@ -36,6 +36,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--viz", action="store_true", help="spawn rerun viewer")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--prefetch-depth", type=int, default=4)
+    p.add_argument(
+        "--max-keypoints",
+        type=int,
+        default=0,
+        help="override the keypoint slot count (0 = per-dataset default)",
+    )
+    p.add_argument(
+        "--chunk",
+        type=int,
+        default=0,
+        help="frames per device dispatch (0 = per-frame engine; chunked "
+        "mode uses the scan runner + native batch decode, SIFT only, "
+        "no viz/BA)",
+    )
     return p
 
 
@@ -55,6 +69,15 @@ def main(argv=None) -> int:
     print(f"Loaded {len(loader.image_files)} images; K=\n{loader.K}")
 
     cfg = get_config(args.dataset, extractor=args.extractor)
+    if args.max_keypoints > 0:
+        cfg = cfg.replace(
+            max_keypoints=args.max_keypoints,
+            sift_n_features=args.max_keypoints,
+        )
+
+    if args.chunk > 0:
+        return _run_chunked(args, loader, cfg)
+
     viz = None
     if args.viz:
         from visualodometry_tpu.viz.rerun_sink import RerunSink
@@ -86,6 +109,46 @@ def main(argv=None) -> int:
         n = min(len(gt), len(est_xz))
         result["ate_xz_sim3"] = round(
             ate_rmse(est_xz[:n], gt[:n], align="sim3"), 3
+        )
+    print(json.dumps(result))
+    return 0
+
+
+def _run_chunked(args, loader, cfg) -> int:
+    """High-throughput path: native batch decode + scan chunk runner."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualodometry_tpu.core import init_state
+    from visualodometry_tpu.core.runner import make_chunked_pipeline_fn
+    from visualodometry_tpu.data import native_decode
+    from visualodometry_tpu.eval import ate_rmse
+
+    assert args.extractor == "sift", "chunked mode is SIFT-only for now"
+    paths = loader.image_files[: args.max_frames]
+    w, h = native_decode.image_info(paths[0])
+    run = make_chunked_pipeline_fn(cfg, loader.K.astype(np.float32))
+    state = init_state(cfg, desc_dim=128)
+
+    C = args.chunk
+    positions = []
+    t0 = time.perf_counter()
+    n_full = len(paths) - len(paths) % C  # fixed shapes: drop the remainder
+    for i in range(0, n_full, C):
+        frames, n_ok = native_decode.decode_batch(paths[i : i + C], w, h)
+        state, out = run(state, jnp.asarray(frames))
+        positions.append(np.asarray(out.T_wc)[:, :3, 3])
+    dt = time.perf_counter() - t0
+
+    est = (
+        np.concatenate(positions) if positions else np.zeros((0, 3))
+    )
+    result = {"frames": int(n_full), "fps": round(n_full / max(dt, 1e-9), 2)}
+    if loader.ground_truth is not None and len(est) >= 8:
+        gt = loader.ground_truth[: len(est)]
+        n = min(len(gt), len(est))
+        result["ate_xz_sim3"] = round(
+            ate_rmse(est[:n, [0, 2]], gt[:n], align="sim3"), 3
         )
     print(json.dumps(result))
     return 0
