@@ -83,6 +83,13 @@ class VOConfig:
     pnp_refine_iters: int = 10  # damped GN iterations on inliers
     seed: int = 0
 
+    # KLT tracking mode (project-statement design; core/klt_step.py)
+    klt_levels: int = 3
+    klt_radius: int = 4
+    klt_iters: int = 10
+    klt_min_parallax_deg: float = 1.0
+    klt_suppress_radius: float = 8.0
+
     # sliding-window BA (beyond the reference; north-star configs 1-3)
     ba_window: int = 5  # keyframes in the BA window
     ba_max_landmarks: int = 512  # landmark slots per window
