@@ -9,7 +9,6 @@ import cv2
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from visualodometry_tpu.config import VOConfig
 from visualodometry_tpu.geometry import (

@@ -254,3 +254,35 @@ class TestCliChunked:
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert stats["frames"] == 12
         assert stats["fps"] > 0
+
+
+class TestCliKlt:
+    def test_klt_mode(self, tmp_path, capsys):
+        from PIL import Image
+
+        from visualodometry_tpu import cli
+
+        rng = np.random.default_rng(3)
+        scene = make_scene(
+            rng, num_frames=8, speed=1.0, num_landmarks=1200,
+            image_size=(320, 180),
+        )
+        root = tmp_path / "kitti"
+        img_dir = root / "05" / "image_0"
+        img_dir.mkdir(parents=True)
+        for f in range(scene.num_frames):
+            img = (render_image(scene, f, dot_sigma=1.8) * 255).astype(np.uint8)
+            Image.fromarray(img).save(img_dir / f"{f:06d}.png")
+        (root / "poses").mkdir()
+        np.savetxt(root / "poses" / "05.txt", np.zeros((8, 12)))
+
+        rc = cli.main(
+            [
+                "--dataset", "kitti", "--path", str(tmp_path),
+                "--sequence", "05", "--tracker", "klt",
+                "--max-keypoints", "512",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["frames"] == 8

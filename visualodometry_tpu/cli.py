@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--extractor", choices=["sift", "superpoint"], default="sift"
     )
+    p.add_argument(
+        "--tracker",
+        choices=["descriptor", "klt"],
+        default="descriptor",
+        help="correspondence engine: descriptor matching (reference "
+        "semantics) or KLT candidate tracking (project-statement design)",
+    )
     p.add_argument("--ba", action="store_true", help="enable windowed BA")
     p.add_argument("--viz", action="store_true", help="spawn rerun viewer")
     p.add_argument("--max-frames", type=int, default=None)
@@ -74,6 +81,9 @@ def main(argv=None) -> int:
             max_keypoints=args.max_keypoints,
             sift_n_features=args.max_keypoints,
         )
+
+    if args.tracker == "klt":
+        return _run_klt(args, loader, cfg)
 
     if args.chunk > 0:
         return _run_chunked(args, loader, cfg)
@@ -144,6 +154,52 @@ def _run_chunked(args, loader, cfg) -> int:
         np.concatenate(positions) if positions else np.zeros((0, 3))
     )
     result = {"frames": int(n_full), "fps": round(n_full / max(dt, 1e-9), 2)}
+    if loader.ground_truth is not None and len(est) >= 8:
+        gt = loader.ground_truth[: len(est)]
+        n = min(len(gt), len(est))
+        result["ate_xz_sim3"] = round(
+            ate_rmse(est[:n, [0, 2]], gt[:n], align="sim3"), 3
+        )
+    print(json.dumps(result))
+    return 0
+
+
+def _run_klt(args, loader, cfg) -> int:
+    """KLT candidate-tracking mode (core/klt_step.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualodometry_tpu.core.klt_step import (
+        init_klt_state,
+        make_klt_step_fn,
+    )
+    from visualodometry_tpu.data import native_decode
+    from visualodometry_tpu.data.prefetch import PrefetchLoader
+    from visualodometry_tpu.eval import ate_rmse
+    from visualodometry_tpu.frontend.sift import extract_sift
+
+    paths = loader.image_files[: args.max_frames]
+    w, h = native_decode.image_info(paths[0])
+    step = jax.jit(make_klt_step_fn(cfg, loader.K.astype(np.float32), (h, w)))
+    state = init_klt_state(cfg, (h, w))
+
+    positions = []
+    t0 = time.perf_counter()
+    for i, img in enumerate(PrefetchLoader(paths, depth=args.prefetch_depth)):
+        imgj = jnp.asarray(img)
+        feats = extract_sift(imgj, cfg)
+        state, out = step(state, imgj, feats)
+        positions.append(np.asarray(out.T_wc)[:3, 3])
+        if i % 50 == 0:
+            print(
+                f"frame {i}: init={bool(out.initialized)} "
+                f"tracked={int(out.num_tracked)} "
+                f"landmarks={int(out.num_landmarks)}"
+            )
+    dt = time.perf_counter() - t0
+
+    est = np.stack(positions) if positions else np.zeros((0, 3))
+    result = {"frames": len(paths), "fps": round(len(paths) / dt, 2)}
     if loader.ground_truth is not None and len(est) >= 8:
         gt = loader.ground_truth[: len(est)]
         n = min(len(gt), len(est))

@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from visualodometry_tpu.core.state import Keyframe, MapState, VOState
+from visualodometry_tpu.core.state import VOState
 
 _FORMAT_VERSION = 1
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from visualodometry_tpu.ba.solver import ba_solve
 from visualodometry_tpu.ba.window import assemble_window, write_back
 from visualodometry_tpu.config import VOConfig
-from visualodometry_tpu.core.state import StepOutput, VOState, init_state
+from visualodometry_tpu.core.state import VOState, init_state
 from visualodometry_tpu.core.step import make_step_fn
 from visualodometry_tpu.frontend.interface import Features
 

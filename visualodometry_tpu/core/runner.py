@@ -11,7 +11,6 @@ reference's per-frame Python loop (reference: src/main.py:58-64).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

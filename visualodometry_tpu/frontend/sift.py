@@ -25,7 +25,6 @@ radius-dependent pixel walk.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple
 

@@ -19,7 +19,6 @@ parallel axis).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np
