@@ -196,3 +196,69 @@ class TestSuperPointPretraining:
         feats = extract(b.img0[0])
         v = np.asarray(feats.valid)
         assert v.sum() >= 5  # pretrained detector fires on blob images
+
+
+class TestMatcherTraining:
+    def test_training_improves_hard_matching(self):
+        """Short training run beats identity-init on ambiguous descriptors."""
+        from visualodometry_tpu.models.train_matcher import (
+            evaluate,
+            synthetic_match_batch,
+            train_matcher,
+        )
+
+        rng = np.random.default_rng(99)
+        test_batch = synthetic_match_batch(
+            rng, batch=2, n=64, d=64, desc_noise=0.4
+        )
+        model = AttentionMatcher(depth=2)
+        b0 = synthetic_match_batch(np.random.default_rng(1), batch=1, n=64, d=64)
+        params0 = model.init(
+            jax.random.key(0),
+            b0.kps0[0], b0.desc0[0], b0.valid0[0],
+            b0.kps1[0], b0.desc1[0], b0.valid1[0],
+        )
+        p0, _ = evaluate(params0, model, test_batch)
+        model_t, params_t, losses = train_matcher(
+            steps=60, batch=4, n=64, d=64, depth=2, lr=3e-4, log_every=59
+        )
+        assert losses[-1] < losses[0]
+        p1, _ = evaluate(params_t, model_t, test_batch)
+        assert p1 > p0 + 0.05, f"precision {p0:.3f} -> {p1:.3f}"
+
+    def test_bundled_matcher_weights(self):
+        """The shipped trained matcher weights load into the step."""
+        from pathlib import Path
+
+        bundled = (
+            Path("visualodometry_tpu/models/weights")
+            / "attention_matcher_synthetic.pkl"
+        )
+        assert bundled.exists()
+        from visualodometry_tpu.config import VOConfig
+        from visualodometry_tpu.core.step import make_step_fn
+        from visualodometry_tpu.core.state import init_state
+        from visualodometry_tpu.data.synthetic import (
+            make_scene,
+            render_features,
+        )
+
+        cfg = VOConfig(
+            extractor_type="synthetic",
+            max_keypoints=128,
+            sift_n_features=128,
+            matcher_type="attention",
+            attention_depth=4,
+            min_median_flow=3.0,
+            essential_hypotheses=64,
+            pnp_hypotheses=64,
+            map_capacity=512,
+        )
+        rng = np.random.default_rng(0)
+        scene = make_scene(rng, num_frames=3, num_landmarks=600)
+        step = jax.jit(make_step_fn(cfg, scene.K))
+        state = init_state(cfg, desc_dim=128)
+        for f in range(3):
+            feats = render_features(scene, f, 128, rng)
+            state, out = step(state, feats)
+        assert np.isfinite(np.asarray(out.T_wc)).all()

@@ -83,18 +83,36 @@ def make_step_fn(
 
         attention_model = AttentionMatcher(depth=cfg.attention_depth)
         if matcher_params is None:
-            # identity-residual init == dual-softmax mutual-NN matching
             d = 256 if cfg.extractor_type == "superpoint" else 128
-            n = cfg.padded_keypoints
-            matcher_params = attention_model.init(
-                jax.random.key(cfg.seed),
-                jnp.zeros((n, 2)),
-                jnp.zeros((n, d)),
-                jnp.zeros((n,), bool),
-                jnp.zeros((n, 2)),
-                jnp.zeros((n, d)),
-                jnp.zeros((n,), bool),
+            # bundled synthetically-trained weights when they fit the
+            # architecture (depth 4, 128-D); else identity-residual init
+            # (== dual-softmax mutual-NN matching)
+            from pathlib import Path
+
+            bundled = (
+                Path(__file__).resolve().parent.parent
+                / "models"
+                / "weights"
+                / "attention_matcher_synthetic.pkl"
             )
+            if cfg.attention_depth == 4 and d == 128 and bundled.exists():
+                import pickle
+
+                with open(bundled, "rb") as f:
+                    matcher_params = jax.tree.map(
+                        jnp.asarray, pickle.load(f)
+                    )
+            else:
+                n = cfg.padded_keypoints
+                matcher_params = attention_model.init(
+                    jax.random.key(cfg.seed),
+                    jnp.zeros((n, 2)),
+                    jnp.zeros((n, d)),
+                    jnp.zeros((n,), bool),
+                    jnp.zeros((n, 2)),
+                    jnp.zeros((n, d)),
+                    jnp.zeros((n,), bool),
+                )
 
     def _match(kf, feats):
         if cfg.matcher_type == "attention":
