@@ -282,3 +282,34 @@ class TestTriangulation:
             cfg,
         )
         assert not bool(np.asarray(valid)[0])
+
+
+class TestEvalExtras:
+    def test_rpe(self, rng):
+        from visualodometry_tpu.eval.ate import rpe_rmse
+
+        gt = np.cumsum(rng.normal(0, 1, (50, 3)), axis=0)
+        est = gt + rng.normal(0, 0.01, gt.shape)
+        assert rpe_rmse(est, gt, delta=1) < 0.05
+        assert rpe_rmse(gt, gt, delta=5) == 0.0
+
+    def test_masked_median_matches_numpy(self, rng):
+        import jax.numpy as jnp
+
+        from visualodometry_tpu.core.step import masked_median
+
+        for n_valid in [1, 2, 7, 8, 31]:
+            x = rng.normal(size=64).astype(np.float32)
+            mask = np.zeros(64, bool)
+            sel = rng.choice(64, n_valid, replace=False)
+            mask[sel] = True
+            got = float(masked_median(jnp.asarray(x), jnp.asarray(mask)))
+            want = float(np.median(x[mask]))
+            assert abs(got - want) < 1e-5, (n_valid, got, want)
+
+    def test_masked_median_empty(self):
+        import jax.numpy as jnp
+
+        from visualodometry_tpu.core.step import masked_median
+
+        assert float(masked_median(jnp.ones(8), jnp.zeros(8, bool))) == 0.0
