@@ -27,7 +27,7 @@ import time
 
 import numpy as np
 
-N_SLOTS = 4096
+N_SLOTS = 2048
 IMG_SIZE = (1226, 370)
 CHUNK = 8
 
@@ -42,6 +42,10 @@ def _build_cfg():
         sift_num_octaves=4,
         min_median_flow=3.0,
         pnp_reproj_err=2.0,
+        # jnp matcher path: keeps the custom Pallas kernel out of the
+        # benchmark's fault surface (the tunneled TPU worker has shown
+        # sporadic kernel faults on long heavy programs)
+        matcher_backend="jnp",
     )
 
 
@@ -94,7 +98,8 @@ def bench_reference_cpu(scene, imgs, n_frames: int = 6) -> float:
 
     K = scene.K.astype(np.float64)
     sift = cv2.SIFT_create(
-        nfeatures=4000, contrastThreshold=0.02, edgeThreshold=2.0, sigma=1.6
+        nfeatures=N_SLOTS, contrastThreshold=0.02, edgeThreshold=2.0,
+        sigma=1.6,
     )
     matcher = cv2.BFMatcher(cv2.NORM_L2, crossCheck=False)
     rng = np.random.default_rng(1)
@@ -258,8 +263,8 @@ def main():
         "ba_solve_ms_20kf_5120lm": round(ba_ms, 2),
         "note": (
             "full per-frame pipeline (SIFT extract + match + RANSAC "
-            "track + map) at 1226x370/4096 kps, chunked scan on one "
-            "chip, vs reference OpenCV SIFT+match+PnP path on host "
+            f"track + map) at 1226x370/{N_SLOTS} kps, chunked scan on "
+            "one chip, vs reference OpenCV SIFT+match+PnP path on host "
             "CPU over the same images"
         ),
     }
