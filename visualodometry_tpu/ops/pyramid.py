@@ -1,102 +1,108 @@
 """Gaussian scale-space and Difference-of-Gaussians pyramids.
 
 Replaces the scale-space machinery inside `cv2.SIFT` (N1 in SURVEY.md
-§2.3). Blurs are separable depthwise convolutions — XLA maps them onto the
-TPU convolution units and fuses the DoG subtraction; downsampling is a
-stride-2 slice. All shapes are static functions of the input size.
+§2.3). Blurs are **banded matrix multiplications on the MXU**: a 1D
+"edge"-padded convolution along an axis of length n is exactly a matmul
+with an (n, n) band matrix, so one octave's full Gaussian stack is two
+batched einsums (horizontal then vertical, one channel per target blur).
+
+Why matmuls and not `conv_general_dilated`: measured on the v5e chip at
+1226x370, the conv pyramid costs ~9 ms/frame AND is only bf16-accurate
+(3.3e-3 max error vs a float64 oracle — XLA lowers small depthwise convs
+through low-precision passes), while the band-matmul pyramid at
+Precision.HIGH costs ~3 ms and is ~2e-6 accurate. Accuracy matters here:
+the DoG contrast threshold is O(2.5e-3), the same order as the conv
+path's error. The band matrices are precomputed host-side per static
+image shape and cached.
+
+All shapes are static functions of the input size; downsampling is a
+stride-2 slice.
 """
 
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
+_PRECISION = lax.Precision.HIGH  # f32 err ~2e-6; HIGHEST ~6e-8 at 2x cost
+
+
+def _full_kernel_np(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    g = np.exp(-0.5 * (x / sigma) ** 2)
+    return (g / g.sum()).astype(np.float32)
+
+
+def _band_matrix_np(n: int, kern: np.ndarray) -> np.ndarray:
+    """(n, n) matrix B with (row_in @ B) == edge-padded 1D conv of row_in."""
+    r = (len(kern) - 1) // 2
+    B = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for t in range(-r, r + 1):
+            j = min(max(i + t, 0), n - 1)
+            B[j, i] += kern[t + r]
+    return B
+
 
 def gaussian_kernel_1d(sigma: float, dtype=jnp.float32) -> jnp.ndarray:
-    """Odd-length 1D Gaussian, radius ceil(3 sigma) (matches cv2's 8U..
-    no — cv2 uses round(sigma*4*2+1)|1 for SIFT; 3 sigma keeps kernels
-    compact with <0.3% truncated mass, adequate for detection)."""
+    """Odd-length 1D Gaussian, radius ceil(3 sigma) (<0.3% truncated mass)."""
     radius = max(1, int(math.ceil(3.0 * sigma)))
-    x = jnp.arange(-radius, radius + 1, dtype=dtype)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+    return jnp.asarray(_full_kernel_np(sigma, radius), dtype)
+
+
+@lru_cache(maxsize=None)
+def _blur_mats(h: int, w: int, sigma: float):
+    # cache NUMPY arrays: caching jnp arrays would capture trace-local
+    # constant tracers under jit and leak them across traces
+    k = _full_kernel_np(sigma, max(1, int(math.ceil(3.0 * sigma))))
+    return _band_matrix_np(h, k), _band_matrix_np(w, k)
 
 
 def blur_2d(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur of (H, W) with SAME edge handling."""
-    k = gaussian_kernel_1d(sigma, img.dtype)
-    r = (k.shape[0] - 1) // 2
-    x = img[None, None, :, :]  # NCHW
-    # horizontal then vertical, SAME padding via explicit edge pad
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
-    x = lax.conv_general_dilated(
-        x,
-        k[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    """Separable Gaussian blur of (H, W) with edge ("SAME") handling."""
+    H, W = img.shape
+    Bv, Bh = _blur_mats(H, W, float(sigma))
+    # out = Bv^T @ img @ Bh  (B maps input index -> output index)
+    return jnp.einsum(
+        "hu,hw,wv->uv", Bv, img.astype(jnp.float32), Bh, precision=_PRECISION
     )
-    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
-    x = lax.conv_general_dilated(
-        x,
-        k[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return x[0, 0]
 
 
-def build_gaussian_octave(
-    base: jnp.ndarray, sigma0: float, scales: int
-) -> jnp.ndarray:
-    """(scales+3, H, W) Gaussian stack for one octave.
+@lru_cache(maxsize=None)
+def _octave_mats(h: int, w: int, scales: int, sigma0: float):
+    """Per-level band matrices for one octave: (C, H, H) and (C, W, W).
 
-    Level i has absolute blur sigma0 * 2^(i/scales). All levels are blurred
-    DIRECTLY from the octave base in one two-pass separable multi-channel
-    convolution (1 input channel -> scales+2 output channels horizontally,
-    then depthwise vertically): two conv dispatches per octave instead of
-    the classic 2*(scales+2) incremental ones — the incremental recurrence
-    is a CPU-cache trick that only serializes a TPU.
+    Level i of the stack has absolute blur sigma0 * 2^((i+1)/scales),
+    produced DIRECTLY from the octave base (blur sigma0) in one hop —
+    the classic incremental level-to-level recurrence is a CPU-cache
+    trick that only serializes a TPU.
     """
     k = 2.0 ** (1.0 / scales)
-    n_out = scales + 2  # levels 1..scales+2 (level 0 is the base itself)
+    n_out = scales + 2
     sigmas = [
         math.sqrt(max((sigma0 * k ** (i + 1)) ** 2 - sigma0**2, 1e-8))
         for i in range(n_out)
     ]
     radius = max(1, int(math.ceil(3.0 * max(sigmas))))
-    taps = 2 * radius + 1
-    kernels = []
-    for s in sigmas:
-        x = jnp.arange(-radius, radius + 1, dtype=base.dtype)
-        g = jnp.exp(-0.5 * (x / s) ** 2)
-        kernels.append(g / jnp.sum(g))
-    ker = jnp.stack(kernels)  # (n_out, taps)
+    Bv = np.stack([_band_matrix_np(h, _full_kernel_np(s, radius)) for s in sigmas])
+    Bh = np.stack([_band_matrix_np(w, _full_kernel_np(s, radius)) for s in sigmas])
+    return Bv, Bh
 
-    x = base[None, None, :, :]  # (1, 1, H, W)
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (radius, radius)), mode="edge")
-    # horizontal: 1 -> n_out channels
-    x = lax.conv_general_dilated(
-        x,
-        ker[:, None, None, :],  # (O=n_out, I=1, 1, taps)
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )  # (1, n_out, H, W)
-    x = jnp.pad(x, ((0, 0), (0, 0), (radius, radius), (0, 0)), mode="edge")
-    # vertical: depthwise per level
-    x = lax.conv_general_dilated(
-        x,
-        ker[:, None, :, None],  # (O=n_out, I=1, taps, 1) with groups
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=n_out,
-    )  # (1, n_out, H, W)
-    return jnp.concatenate([base[None], x[0]], axis=0)
+
+def build_gaussian_octave(
+    base: jnp.ndarray, sigma0: float, scales: int
+) -> jnp.ndarray:
+    """(scales+3, H, W) Gaussian stack for one octave (level 0 = base)."""
+    H, W = base.shape
+    Bv, Bh = _octave_mats(H, W, scales, float(sigma0))
+    x = jnp.einsum("hw,cwv->chv", base, Bh, precision=_PRECISION)
+    x = jnp.einsum("chw,chu->cuw", x, Bv, precision=_PRECISION)
+    return jnp.concatenate([base[None], x], axis=0)
 
 
 def downsample_2x(img: jnp.ndarray) -> jnp.ndarray:
