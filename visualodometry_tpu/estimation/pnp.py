@@ -24,7 +24,11 @@ from visualodometry_tpu.geometry.camera import (
     project_points,
     projection_jacobian_point,
 )
-from visualodometry_tpu.geometry.linalg import smallest_eigvec, svd3
+from visualodometry_tpu.geometry.linalg import (
+    smallest_eigvec,
+    solve_psd_small,
+    svd3,
+)
 from visualodometry_tpu.geometry.se3 import make_T, se3_exp
 from visualodometry_tpu.geometry.so3 import so3_hat
 
@@ -140,7 +144,7 @@ def refine_pose_gn(
         H = jnp.einsum("nik,nil->nkl", J * w, J, precision="highest").sum(0)
         b = jnp.einsum("nik,ni->nk", J * w, r, precision="highest").sum(0)
         H = H + damping * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6, dtype=T.dtype)
-        delta = jnp.linalg.solve(H, b)
+        delta = solve_psd_small(H, b)
         return se3_exp(-delta) @ T
 
     return jax.lax.fori_loop(0, iters, body, T_cw)
