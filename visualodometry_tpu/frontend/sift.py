@@ -458,11 +458,16 @@ def _octave_budgets(total: int, num_octaves: int) -> list[int]:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def extract_sift(img: jnp.ndarray, cfg: VOConfig) -> Features:
-    """(H, W) image in [0, 1] -> fixed-shape SIFT Features.
+    """(H, W) image -> fixed-shape SIFT Features.
 
-    The whole extractor — pyramid, detection, refinement, orientation,
-    descriptors across all octaves — is one XLA program.
+    Accepts float in [0, 1] or uint8 in [0, 255] (normalized on device —
+    uint8 ingest cuts host->device bytes 4x, which matters because frame
+    upload is the only per-frame host boundary). The whole extractor —
+    pyramid, detection, refinement, orientation, descriptors across all
+    octaves — is one XLA program.
     """
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) * (1.0 / 255.0)
     img = img.astype(jnp.float32)
     S = cfg.sift_scales_per_octave
     gauss, dogs = build_pyramid(
