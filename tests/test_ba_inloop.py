@@ -1,0 +1,102 @@
+"""Device-side windowed BA in the chunked runner (ba/inloop.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from visualodometry_tpu.ba.inloop import init_window, push_frame
+from visualodometry_tpu.config import VOConfig
+from visualodometry_tpu.core import init_state
+from visualodometry_tpu.core.runner import make_chunked_pipeline_fn
+from visualodometry_tpu.data.synthetic import make_scene, render_image
+from visualodometry_tpu.eval import ate_rmse
+
+
+def _cfg(N=1024):
+    return VOConfig(
+        extractor_type="sift",
+        max_keypoints=N,
+        sift_n_features=N,
+        sift_contrast_threshold=0.01,
+        sift_num_octaves=3,
+        min_median_flow=3.0,
+        max_reproj_err=2.0,
+        pnp_reproj_err=2.0,
+        min_depth=1.0,
+        essential_hypotheses=256,
+        pnp_hypotheses=256,
+        map_capacity=8192,
+        ba_window=4,
+        ba_max_landmarks=512,
+        ba_iters=6,
+    )
+
+
+class TestWindow:
+    def test_push_reset_rollover(self):
+        cfg = _cfg(N=8).replace(ba_window=3)
+        win = init_window(cfg)
+        n = cfg.padded_keypoints
+        t = jnp.asarray(True)
+        f = jnp.asarray(False)
+
+        def mk(v):
+            return (
+                jnp.full((n, 2), float(v)),
+                jnp.full((n,), v, jnp.int32),
+                jnp.ones((n,), bool),
+                jnp.eye(4) * 1.0,
+            )
+
+        # non-keyframe frames leave the window unchanged
+        win = push_frame(win, *mk(1), is_keyframe=f, did_reset=f)
+        assert int(win.count) == 0
+        # three pushes fill it
+        for v in (1, 2, 3):
+            win = push_frame(win, *mk(v), is_keyframe=t, did_reset=f)
+        assert int(win.count) == 3
+        assert int(win.ids[-1][0]) == 3 and int(win.ids[0][0]) == 1
+        # rollover evicts the oldest
+        win = push_frame(win, *mk(4), is_keyframe=t, did_reset=f)
+        assert int(win.count) == 3
+        assert int(win.ids[0][0]) == 2 and int(win.ids[-1][0]) == 4
+        # reset empties; a reset+keyframe frame (re-bootstrap) counts 1
+        win = push_frame(win, *mk(5), is_keyframe=t, did_reset=t)
+        assert int(win.count) == 1
+        win = push_frame(win, *mk(6), is_keyframe=f, did_reset=t)
+        assert int(win.count) == 0
+
+
+class TestChunkedBA:
+    def test_chunked_runner_with_inloop_ba(self):
+        """Rendered images -> chunked runner with device BA: tracks and
+        stays within the e2e ATE bound; the BA cond executes (window
+        fills) without perturbing the trajectory."""
+        cfg = _cfg()
+        rng = np.random.default_rng(4)
+        C = 6
+        scene = make_scene(
+            rng,
+            num_frames=24,
+            speed=1.2,
+            turn_rate=0.002,
+            num_landmarks=1600,
+            image_size=(640, 360),
+        )
+        imgs = np.stack(
+            [render_image(scene, f, dot_sigma=2.0) for f in range(24)]
+        )
+        run = make_chunked_pipeline_fn(cfg, scene.K, enable_ba=True)
+        carry = (init_state(cfg, desc_dim=128), init_window(cfg))
+        positions = []
+        kf_total = 0
+        for i in range(0, 24, C):
+            carry, out = run(carry, jnp.asarray(imgs[i : i + C]))
+            positions.append(np.asarray(out.T_wc)[:, :3, 3])
+            kf_total += int(np.asarray(out.is_keyframe).sum())
+        state, win = carry
+        est = np.concatenate(positions)
+        assert kf_total >= cfg.ba_window, "window never filled"
+        assert int(win.count) >= cfg.ba_window
+        assert np.isfinite(est).all()
+        ate = ate_rmse(est[8:], scene.gt_positions[8:], align="sim3")
+        assert ate < 2.0, f"ATE {ate:.2f} m"

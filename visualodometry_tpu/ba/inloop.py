@@ -1,0 +1,148 @@
+"""Device-side windowed BA for the chunked scan runner.
+
+The host engine (core/pipeline.py) runs sliding-window BA between frames,
+which costs a host round-trip per keyframe. This module keeps the whole
+refinement loop on device: a fixed-shape window of the last P keyframes
+(keypoints, landmark ids, poses) rides in the chunk runner's carry, is
+updated by a lax.scan over the chunk's per-frame outputs, and — when full
+— is refined by one damped-GN/Schur solve per chunk under lax.cond. The
+refined landmarks are scattered back into the ring-buffer map and the
+newest keyframe's pose correction is propagated to the live tracking
+pose, so subsequent chunks track against the refined map.
+
+The window is the TPU equivalent of the engine's `deque` of keyframe
+records; reset semantics match the reference's failure handling (a
+tracking reset empties the window, reference: src/modules/vo.py:290-299).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from visualodometry_tpu.ba.solver import ba_solve
+from visualodometry_tpu.ba.window import assemble_window, write_back
+from visualodometry_tpu.config import VOConfig
+from visualodometry_tpu.core.state import StepOutput, VOState
+from visualodometry_tpu.frontend.interface import Features
+from visualodometry_tpu.geometry.se3 import se3_inverse
+
+
+class KFWindow(NamedTuple):
+    """Last-P-keyframes ring (newest at index P-1), fixed shape."""
+
+    kps: jnp.ndarray  # (P, N, 2) float32
+    ids: jnp.ndarray  # (P, N) int32 landmark ids, -1 = none
+    valid: jnp.ndarray  # (P, N) bool
+    T_wc: jnp.ndarray  # (P, 4, 4) float32 world-from-camera
+    count: jnp.ndarray  # () int32 number of live entries (<= P)
+
+
+def init_window(cfg: VOConfig) -> KFWindow:
+    P = cfg.ba_window
+    n = cfg.padded_keypoints
+    return KFWindow(
+        kps=jnp.zeros((P, n, 2), jnp.float32),
+        ids=jnp.full((P, n), -1, jnp.int32),
+        valid=jnp.zeros((P, n), bool),
+        T_wc=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (P, 4, 4)),
+        count=jnp.int32(0),
+    )
+
+
+def push_frame(
+    win: KFWindow,
+    kps: jnp.ndarray,
+    ids: jnp.ndarray,
+    valid: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    is_keyframe: jnp.ndarray,
+    did_reset: jnp.ndarray,
+) -> KFWindow:
+    """Advance the window by one frame: reset clears, keyframe pushes."""
+    count0 = jnp.where(did_reset, 0, win.count)
+    P = win.kps.shape[0]
+    pushed = KFWindow(
+        kps=jnp.roll(win.kps, -1, axis=0).at[-1].set(kps),
+        ids=jnp.roll(win.ids, -1, axis=0).at[-1].set(ids),
+        valid=jnp.roll(win.valid, -1, axis=0).at[-1].set(valid),
+        T_wc=jnp.roll(win.T_wc, -1, axis=0).at[-1].set(T_wc),
+        count=jnp.minimum(count0 + 1, P),
+    )
+    kept = win._replace(count=count0)
+    return jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(is_keyframe, (1,) * a.ndim), a, b
+        ),
+        pushed,
+        kept,
+    )
+
+
+def make_ba_chunk_fn(cfg: VOConfig, K):
+    """(state, window, feats_stack (C,...), outs (C,...)) -> (state, window).
+
+    Pushes the chunk's keyframes into the window, then — if the window is
+    full — refines it with `ba_iters` GN iterations and writes landmarks
+    and the keyframe-pose correction back into the live state. One XLA
+    program; the BA branch is a lax.cond so chunks without a full window
+    skip the solve.
+    """
+    Kj = jnp.asarray(K, jnp.float32)
+    P = cfg.ba_window
+
+    def ba_chunk(
+        state: VOState,
+        win: KFWindow,
+        feats_stack: Features,
+        outs: StepOutput,
+    ) -> tuple[VOState, KFWindow]:
+        def body(w, xs):
+            kps, valid, ids, T_wc, is_kf, reset = xs
+            return push_frame(w, kps, ids, valid, T_wc, is_kf, reset), None
+
+        win2, _ = lax.scan(
+            body,
+            win,
+            (
+                feats_stack.kps,
+                feats_stack.valid,
+                outs.curr_ids,
+                outs.T_wc,
+                outs.is_keyframe,
+                outs.did_reset,
+            ),
+        )
+
+        def do_ba(args):
+            state, win = args
+            prob, chosen = assemble_window(
+                win.T_wc,
+                win.kps,
+                win.ids,
+                win.valid,
+                state.map,
+                Kj,
+                num_landmarks=cfg.ba_max_landmarks,
+            )
+            solved = ba_solve(
+                prob, iters=cfg.ba_iters, damping=cfg.ba_damping
+            )
+            # Structure-only write-back: refined landmarks feed subsequent
+            # PnP tracking (measured: raises tracked-inlier counts), while
+            # poses keep coming from the tracker — writing refined poses
+            # back mid-sequence injects jumps at chunk boundaries that the
+            # per-frame outputs (already emitted) can't reflect, kinking
+            # the trajectory. Pose smoothing over the full trajectory is
+            # the pose-graph layer's job (ba/pose_graph.py).
+            new_map = write_back(state.map, chosen, solved.X)
+            return state._replace(map=new_map), win
+
+        return lax.cond(
+            win2.count >= P, do_ba, lambda a: a, (state, win2)
+        )
+
+    return ba_chunk

@@ -55,9 +55,39 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help="frames per device dispatch (0 = per-frame engine; chunked "
         "mode uses the scan runner + native batch decode, SIFT only, "
-        "no viz/BA)",
+        "no viz)",
+    )
+    p.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="override any VOConfig field after the per-dataset defaults "
+        "(repeatable), e.g. --set min_median_flow=3 --set "
+        "sift_num_octaves=3. The per-dataset gates are tuned for the "
+        "real datasets; synthetic fixtures need scene-matched gates.",
     )
     return p
+
+
+def _apply_overrides(cfg, pairs: list[str]):
+    """Apply --set KEY=VALUE pairs, coercing to the field's current type."""
+    for pair in pairs:
+        key, _, raw = pair.partition("=")
+        if not _ or not hasattr(cfg, key):
+            raise SystemExit(f"--set: unknown config field {key!r}")
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        else:
+            val = raw
+        cfg = cfg.replace(**{key: val})
+    return cfg
 
 
 def main(argv=None) -> int:
@@ -81,6 +111,7 @@ def main(argv=None) -> int:
             max_keypoints=args.max_keypoints,
             sift_n_features=args.max_keypoints,
         )
+    cfg = _apply_overrides(cfg, args.overrides)
 
     if args.tracker == "klt":
         return _run_klt(args, loader, cfg)
@@ -137,8 +168,14 @@ def _run_chunked(args, loader, cfg) -> int:
     assert args.extractor == "sift", "chunked mode is SIFT-only for now"
     paths = loader.image_files[: args.max_frames]
     w, h = native_decode.image_info(paths[0])
-    run = make_chunked_pipeline_fn(cfg, loader.K.astype(np.float32))
-    state = init_state(cfg, desc_dim=128)
+    run = make_chunked_pipeline_fn(
+        cfg, loader.K.astype(np.float32), enable_ba=args.ba
+    )
+    carry = init_state(cfg, desc_dim=128)
+    if args.ba:
+        from visualodometry_tpu.ba.inloop import init_window
+
+        carry = (carry, init_window(cfg))
 
     C = args.chunk
     positions = []
@@ -148,7 +185,7 @@ def _run_chunked(args, loader, cfg) -> int:
         frames, n_ok = native_decode.decode_batch(paths[i : i + C], w, h)
         # uint8 upload: 4x fewer host->device bytes; normalized on device
         u8 = (np.clip(frames, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-        state, out = run(state, jnp.asarray(u8))
+        carry, out = run(carry, jnp.asarray(u8))
         positions.append(np.asarray(out.T_wc)[:, :3, 3])
     dt = time.perf_counter() - t0
 

@@ -36,13 +36,14 @@ def make_chunked_step_fn(
 
 
 def make_chunked_pipeline_fn(
-    cfg: VOConfig, K
-) -> Callable[[VOState, jnp.ndarray], tuple[VOState, StepOutput]]:
-    """Chunk runner over raw images (C, H, W): extraction + step fused.
+    cfg: VOConfig, K, enable_ba: bool = False
+) -> Callable:
+    """Chunk runner over raw images (C, H, W): extraction + step (+ BA).
 
-    The SIFT extractor runs inside the scan body, so pyramid, detection,
-    descriptors, matching, RANSAC, and the map update for C frames
-    compile into a single XLA program.
+    Returns `run_chunk(state, imgs) -> (state, outputs)`; with
+    `enable_ba=True` the carry is `(state, KFWindow)` instead and each
+    chunk ends with a device-side windowed-BA refinement (ba/inloop.py)
+    once the keyframe window is full.
     """
     from visualodometry_tpu.frontend.sift import extract_sift
 
@@ -63,8 +64,23 @@ def make_chunked_pipeline_fn(
     )
     scan_step = jax.jit(lambda st, fs: jax.lax.scan(step, st, fs))
 
-    def run_chunk(state: VOState, imgs: jnp.ndarray):
-        feats_stack = vextract(imgs)
-        return scan_step(state, feats_stack)
+    if not enable_ba:
 
-    return run_chunk
+        def run_chunk(state: VOState, imgs: jnp.ndarray):
+            feats_stack = vextract(imgs)
+            return scan_step(state, feats_stack)
+
+        return run_chunk
+
+    from visualodometry_tpu.ba.inloop import make_ba_chunk_fn
+
+    ba_chunk = jax.jit(make_ba_chunk_fn(cfg, K))
+
+    def run_chunk_ba(carry, imgs: jnp.ndarray):
+        state, win = carry
+        feats_stack = vextract(imgs)
+        state, outs = scan_step(state, feats_stack)
+        state, win = ba_chunk(state, win, feats_stack, outs)
+        return (state, win), outs
+
+    return run_chunk_ba

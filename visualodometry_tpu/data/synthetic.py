@@ -63,6 +63,8 @@ def make_scene(
     desc_dim: int = 128,
     image_size: tuple[int, int] = (1226, 370),
     K: np.ndarray | None = None,
+    depth_range: tuple[float, float] = (5.0, 60.0),
+    lateral_range: float = 25.0,
 ) -> SyntheticScene:
     """KITTI-like forward drive with a gentle curve and roadside landmarks."""
     if K is None:
@@ -93,9 +95,9 @@ def make_scene(
     T_anchor = poses[anchor]  # (L, 4, 4)
     offs_cam = np.stack(
         [
-            rng.uniform(-25, 25, num_landmarks),  # right
+            rng.uniform(-lateral_range, lateral_range, num_landmarks),
             rng.uniform(-4, 3, num_landmarks),  # down (ground + above)
-            rng.uniform(5, 60, num_landmarks),  # forward depth
+            rng.uniform(*depth_range, num_landmarks),  # forward depth
         ],
         axis=1,
     )
@@ -170,6 +172,7 @@ def render_image(
     max_depth: float = 80.0,
     dot_sigma: float = 2.2,
     supersample: int = 1,
+    subdots: int = 1,
 ) -> np.ndarray:
     """Render the frame as a grayscale image of Gaussian dots.
 
@@ -177,6 +180,13 @@ def render_image(
     stable per-landmark value — enough texture for the SIFT-style frontend
     to detect and match across frames, with fully known geometry. Returns
     (H, W) float32 in [0, 1].
+
+    With `subdots > 1`, each landmark is stamped as a stable constellation
+    of that many blobs (per-landmark offsets/intensities): the local
+    pattern is unique per landmark and rigid across frames, which makes
+    SIFT descriptors discriminative the way real-world texture is — lone
+    isotropic blobs are near-identical to each other, so their matching
+    degrades under fast motion when neighboring-dot context changes.
     """
     W, H = scene.image_size
     T_wc = scene.poses_T_wc[frame]
@@ -197,21 +207,41 @@ def render_image(
     )
     idx = np.flatnonzero(vis)
     img = np.zeros((H, W), np.float32)
-    # stable per-landmark intensity in [0.35, 1.0]
+    L = len(scene.landmarks)
+    # stable per-landmark appearance (fixed seed: identical across frames)
     rng_int = np.random.default_rng(12345)
-    intensities = rng_int.uniform(0.35, 1.0, len(scene.landmarks)).astype(
-        np.float32
-    )
-    r = int(np.ceil(m))
+    intensities = rng_int.uniform(0.35, 1.0, (L, subdots)).astype(np.float32)
+    if subdots > 1:
+        offs = rng_int.uniform(
+            -2.5 * dot_sigma, 2.5 * dot_sigma, (L, subdots, 2)
+        ).astype(np.float32)
+        offs[:, 0] = 0.0  # the primary blob stays on the projection
+        pad = 2.5 * dot_sigma
+    else:
+        offs = np.zeros((L, 1, 2), np.float32)
+        pad = 0.0
+    r = int(np.ceil(m + pad))
     ys = np.arange(-r, r + 1)
     xs = np.arange(-r, r + 1)
     gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    inv2s2 = 1.0 / (2 * dot_sigma**2)
     for i in idx:
         cx, cy = uv[i]
         x0, y0 = int(round(cx)), int(round(cy))
-        patch = intensities[i] * np.exp(
-            -((gx + x0 - cx) ** 2 + (gy + y0 - cy) ** 2) / (2 * dot_sigma**2)
-        )
+        patch = np.zeros_like(gx, dtype=np.float32)
+        for s in range(subdots):
+            dx, dy = offs[i, s]
+            patch = np.maximum(
+                patch,
+                intensities[i, s]
+                * np.exp(
+                    -(
+                        (gx + x0 - cx - dx) ** 2
+                        + (gy + y0 - cy - dy) ** 2
+                    )
+                    * inv2s2
+                ),
+            )
         ylo, yhi = y0 - r, y0 + r + 1
         xlo, xhi = x0 - r, x0 + r + 1
         py0, px0 = max(0, -ylo), max(0, -xlo)
