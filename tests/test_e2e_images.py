@@ -106,3 +106,12 @@ def test_images_to_trajectory_with_ba():
     assert est.shape[0] == scene.num_frames
     ate = ate_rmse(est[8:], scene.gt_positions[8:], align="sim3")
     assert ate < 1.0, f"ATE {ate:.2f} m"
+
+    # pose-graph smoothing over the keyframe chain (config[3]): fuses the
+    # chain with the BA-refined window edges; must stay consistent (no
+    # blow-up) and not materially degrade the trajectory
+    est_sm = eng.positions(smoothed=True)
+    assert est_sm.shape == est.shape
+    assert np.isfinite(est_sm).all()
+    ate_sm = ate_rmse(est_sm[8:], scene.gt_positions[8:], align="sim3")
+    assert ate_sm < max(1.0, ate * 1.5), f"smoothed ATE {ate_sm:.2f} m"

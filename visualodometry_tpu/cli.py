@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
         "semantics) or KLT candidate tracking (project-statement design)",
     )
     p.add_argument("--ba", action="store_true", help="enable windowed BA")
+    p.add_argument(
+        "--smooth",
+        action="store_true",
+        help="loop-free pose-graph smoothing over the keyframe chain "
+        "before evaluation (per-frame engine; pairs with --ba, whose "
+        "refined window edges the smoother fuses)",
+    )
     p.add_argument("--viz", action="store_true", help="spawn rerun viewer")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--prefetch-depth", type=int, default=4)
@@ -143,7 +150,7 @@ def main(argv=None) -> int:
         "frames": len(paths),
         "fps": round(len(paths) / dt, 2),
     }
-    est = engine.positions()
+    est = engine.positions(smoothed=args.smooth)
     if loader.ground_truth is not None and len(est) >= 8:
         gt = loader.ground_truth[: len(est)]
         est_xz = est[:, [0, 2]]

@@ -33,6 +33,7 @@ class _KeyframeRecord:
     ids: np.ndarray
     valid: np.ndarray
     T_wc: np.ndarray
+    kf_index: int = -1  # position in the engine's keyframe log
 
 
 @dataclass
@@ -49,6 +50,12 @@ class VOEngine:
     trajectory: list = field(init=False, default_factory=list)
     frame_id: int = field(init=False, default=0)
     _kf_window: deque = field(init=False)
+    # full-sequence keyframe chain + BA-refined relative edges, consumed
+    # by positions(smoothed=True) (north-star config[3]: loop-free pose-
+    # graph smoothing over the sequence)
+    _kf_log: list = field(init=False, default_factory=list)  # 4x4 poses
+    _traj_kf: list = field(init=False, default_factory=list)  # frame->kf idx
+    _ba_edges: dict = field(init=False, default_factory=dict)  # (i,j)->Z
 
     def __post_init__(self):
         self.K = np.asarray(self.K, np.float32)
@@ -90,19 +97,25 @@ class VOEngine:
             # reference resets the trajectory on failure (vo.py:295)
             self.trajectory = []
             self._kf_window.clear()
+            self._kf_log = []
+            self._traj_kf = []
+            self._ba_edges = {}
         self.trajectory.append(out_host.T_wc[:3, 3].copy())
 
         if bool(out_host.is_keyframe):
+            self._kf_log.append(out_host.T_wc.copy())
             self._kf_window.append(
                 _KeyframeRecord(
                     kps=np.asarray(feats.kps),
                     ids=out_host.curr_ids.copy(),
                     valid=np.asarray(feats.valid),
                     T_wc=out_host.T_wc.copy(),
+                    kf_index=len(self._kf_log) - 1,
                 )
             )
             if self.enable_ba and len(self._kf_window) == self.cfg.ba_window:
                 self._run_window_ba()
+        self._traj_kf.append(len(self._kf_log) - 1)
 
         if self.viz is not None:
             self.viz.log_frame(self, out_host, img, feats)
@@ -134,6 +147,14 @@ class VOEngine:
         # refresh window records + live state with refined values
         for r, T in zip(recs, T_wc_new):
             r.T_wc = T.copy()
+            if 0 <= r.kf_index < len(self._kf_log):
+                self._kf_log[r.kf_index] = T.copy()
+        # record BA-refined relative poses between consecutive window
+        # keyframes as pose-graph edges (latest refinement wins)
+        for ra, rb, Ta, Tb in zip(recs, recs[1:], T_wc_new, T_wc_new[1:]):
+            if ra.kf_index >= 0 and rb.kf_index >= 0:
+                Z = np.linalg.solve(Ta, Tb)  # T_a^{-1} T_b
+                self._ba_edges[(ra.kf_index, rb.kf_index)] = Z
         kf = self.state.keyframe._replace(T_wc=jnp.asarray(T_wc_new[-1]))
         self.state = self.state._replace(
             map=new_map,
@@ -145,9 +166,49 @@ class VOEngine:
             self.trajectory[-1] = T_wc_new[-1][:3, 3].copy()
 
     # ---- evaluation ----
-    def positions(self) -> np.ndarray:
-        return (
-            np.stack(self.trajectory)
-            if self.trajectory
-            else np.zeros((0, 3), np.float32)
+    def positions(self, smoothed: bool = False) -> np.ndarray:
+        """Per-frame positions; `smoothed=True` applies loop-free pose-
+        graph smoothing over the keyframe chain (ba/pose_graph.py) fusing
+        the VO chain with the BA-refined window edges, then carries each
+        keyframe's correction to the frames tracked from it."""
+        if not self.trajectory:
+            return np.zeros((0, 3), np.float32)
+        est = np.stack(self.trajectory)
+        if not smoothed or len(self._kf_log) < 3:
+            return est
+
+        from visualodometry_tpu.ba.pose_graph import (
+            PoseGraph,
+            smooth_pose_graph,
         )
+
+        T_kf = np.stack(self._kf_log)  # (P, 4, 4)
+        P = len(T_kf)
+        # chain edges from the (possibly BA-refreshed) VO estimates
+        ei = list(range(P - 1))
+        ej = list(range(1, P))
+        Z = [np.linalg.solve(T_kf[i], T_kf[j]) for i, j in zip(ei, ej)]
+        w = [1.0] * len(ei)
+        # BA-refined window edges get higher confidence; skip duplicates
+        # of chain edges already refreshed to the same measurement
+        for (i, j), Zij in self._ba_edges.items():
+            ei.append(i)
+            ej.append(j)
+            Z.append(Zij)
+            w.append(4.0)
+        g = PoseGraph(
+            T_wc=jnp.asarray(T_kf, jnp.float32),
+            edges_i=jnp.asarray(ei, jnp.int32),
+            edges_j=jnp.asarray(ej, jnp.int32),
+            Z=jnp.asarray(np.stack(Z), jnp.float32),
+            weight=jnp.asarray(w, jnp.float32),
+        )
+        T_sm = np.asarray(smooth_pose_graph(g, iters=10))
+        # carry each keyframe's correction to frames tracked from it
+        out = est.copy()
+        for f, k in enumerate(self._traj_kf[: len(est)]):
+            if k < 0:
+                continue
+            delta = T_sm[k] @ np.linalg.inv(T_kf[k])
+            out[f] = (delta[:3, :3] @ est[f]) + delta[:3, 3]
+        return out
