@@ -60,6 +60,11 @@ class VOConfig:
 
     # -- triangulation & depth (reference: src/config/config.py:31-32) ------
     min_depth: float = 0.001
+    # minimum ray parallax (degrees) for registering a triangulated
+    # landmark; 0 = reference semantics (no parallax gate). Guards the
+    # map against near-unconstrained tiny-baseline triangulations when
+    # keyframes fire on small flows.
+    min_parallax_deg: float = 0.0
     max_reproj_err: float = 6.0
 
     # -- PnP and tracking (reference: src/config/config.py:35-36) -----------

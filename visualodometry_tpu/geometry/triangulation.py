@@ -52,7 +52,13 @@ def triangulate_points(
 
     Gates (reference: src/modules/frontend.py:134-146):
       - cheirality: depth in camera 2 > cfg.min_depth;
-      - reprojection error in frame 2 < cfg.max_reproj_err.
+      - reprojection error in frame 2 < cfg.max_reproj_err;
+      - (beyond the reference, off when cfg.min_parallax_deg == 0) ray
+        parallax > cfg.min_parallax_deg: a tiny-baseline pair passes the
+        reprojection gate trivially while its depth is near-unconstrained;
+        such landmarks pollute the map and destabilize later PnP. The
+        project statement's candidate-keypoint design gates on the same
+        quantity (cf. klt_min_parallax_deg in the KLT mode).
 
     Returns (pts3d (N, 3), valid (N,) bool) at fixed shape; invalid slots
     hold garbage and must be masked by the caller.
@@ -65,6 +71,19 @@ def triangulate_points(
     err2 = jnp.linalg.norm(proj2 - uv2, axis=-1)
 
     valid = (z2 > cfg.min_depth) & (err2 < cfg.max_reproj_err)
+    if cfg.min_parallax_deg > 0.0:
+        import numpy as _np
+
+        c1 = -jnp.matmul(T_cw1[:3, :3].T, T_cw1[:3, 3])
+        c2 = -jnp.matmul(T_cw2[:3, :3].T, T_cw2[:3, 3])
+        r1 = pts3d - c1
+        r2 = pts3d - c2
+        cos_a = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1),
+            1e-12,
+        )
+        cos_thr = float(_np.cos(_np.deg2rad(cfg.min_parallax_deg)))
+        valid = valid & (cos_a < cos_thr)
     if valid_in is not None:
         valid = valid & valid_in
     return pts3d, valid
