@@ -73,6 +73,20 @@ def _build_cfg():
     )
 
 
+def _build_superpoint_cfg():
+    from visualodometry_tpu.config import get_config
+
+    return get_config("kitti", extractor="superpoint").replace(
+        min_median_flow=3.0,
+        max_reproj_err=2.0,
+        pnp_reproj_err=2.0,
+        min_depth=1.0,
+        lowe_ratio=0.92,
+        min_parallax_deg=0.35,
+        matcher_backend="jnp",
+    )
+
+
 def _build_images(n_frames: int, seed: int = 0):
     from visualodometry_tpu.data.synthetic import make_scene, render_image
 
@@ -118,7 +132,9 @@ def bench_tpu_pipeline(scene, imgs, cfg) -> tuple[float, float, dict]:
 
     run = make_chunked_pipeline_fn(cfg, scene.K)
     n_chunks = len(imgs) // CHUNK
-    state = init_state(cfg, desc_dim=128)
+    state = init_state(
+        cfg, desc_dim=256 if cfg.extractor_type == "superpoint" else 128
+    )
 
     imgs_u8 = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
@@ -261,6 +277,10 @@ def _measure_tpu():
     scene, imgs = _build_images(n_frames=CHUNK * 4, seed=7)
     fps_tpu, upload_mbps, health = bench_tpu_pipeline(scene, imgs, cfg)
     ba_ms = bench_ba_solve_ms()
+    # learned frontend at the reference's SuperPoint operating point
+    # (2048 keypoints, reference: src/config/config.py:15), bf16 backbone
+    sp_cfg = _build_superpoint_cfg()
+    fps_sp, _, sp_health = bench_tpu_pipeline(scene, imgs, sp_cfg)
     print(
         json.dumps(
             {
@@ -268,6 +288,9 @@ def _measure_tpu():
                 "ba_ms": ba_ms,
                 "upload_mbps": upload_mbps,
                 **health,
+                "fps_superpoint": fps_sp,
+                "superpoint_resets": sp_health["resets"],
+                "superpoint_ate_sim3_m": sp_health["ate_sim3_m"],
             }
         )
     )
@@ -341,6 +364,16 @@ def main():
         "tracking_keyframes": result.get("keyframes"),
         "tracking_ate_sim3_m": (
             round(result["ate_sim3_m"], 3) if "ate_sim3_m" in result else None
+        ),
+        "fps_superpoint_2048kps": (
+            round(result["fps_superpoint"], 2)
+            if "fps_superpoint" in result
+            else None
+        ),
+        "superpoint_ate_sim3_m": (
+            round(result["superpoint_ate_sim3_m"], 3)
+            if "superpoint_ate_sim3_m" in result
+            else None
         ),
         "note": (
             "full per-frame pipeline (SIFT extract + match + RANSAC "

@@ -172,13 +172,14 @@ def _run_chunked(args, loader, cfg) -> int:
     from visualodometry_tpu.data import native_decode
     from visualodometry_tpu.eval import ate_rmse
 
-    assert args.extractor == "sift", "chunked mode is SIFT-only for now"
     paths = loader.image_files[: args.max_frames]
     w, h = native_decode.image_info(paths[0])
     run = make_chunked_pipeline_fn(
         cfg, loader.K.astype(np.float32), enable_ba=args.ba
     )
-    carry = init_state(cfg, desc_dim=128)
+    carry = init_state(
+        cfg, desc_dim=256 if args.extractor == "superpoint" else 128
+    )
     if args.ba:
         from visualodometry_tpu.ba.inloop import init_window
 

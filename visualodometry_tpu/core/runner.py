@@ -43,10 +43,9 @@ def make_chunked_pipeline_fn(
     Returns `run_chunk(state, imgs) -> (state, outputs)`; with
     `enable_ba=True` the carry is `(state, KFWindow)` instead and each
     chunk ends with a device-side windowed-BA refinement (ba/inloop.py)
-    once the keyframe window is full.
+    once the keyframe window is full. Both frontends are supported:
+    cfg.extractor_type "sift" or "superpoint" (the learned CNN).
     """
-    from visualodometry_tpu.frontend.sift import extract_sift
-
     step = make_step_fn(cfg, K)
 
     # Two programs per chunk rather than one: extraction has no frame-to-
@@ -55,13 +54,24 @@ def make_chunked_pipeline_fn(
     # and (empirically) avoids a TPU runtime fault observed in the single
     # fused program; dispatch count is still O(1) per chunk.
     #
-    # Extraction iterates frames with lax.map rather than vmap: the
-    # extractor's convolutions and gathers already saturate the chip for
-    # ONE 1226x370 frame, and batching only degrades their layouts
-    # (measured 33.7 -> 23.0 ms/frame at 4096 slots on v5e).
-    vextract = jax.jit(
-        lambda ims: jax.lax.map(lambda im: extract_sift(im, cfg), ims)
-    )
+    if cfg.extractor_type == "superpoint":
+        from visualodometry_tpu.frontend.superpoint import (
+            make_superpoint_extract_fn,
+        )
+
+        sp_extract = make_superpoint_extract_fn(cfg)
+        # the CNN batches well across frames (conv batch dim on the MXU)
+        vextract = jax.jit(jax.vmap(sp_extract))
+    else:
+        from visualodometry_tpu.frontend.sift import extract_sift
+
+        # SIFT extraction iterates frames with lax.map rather than vmap:
+        # its convolutions and gathers already saturate the chip for ONE
+        # 1226x370 frame, and batching only degrades their layouts
+        # (measured 33.7 -> 23.0 ms/frame at 4096 slots on v5e).
+        vextract = jax.jit(
+            lambda ims: jax.lax.map(lambda im: extract_sift(im, cfg), ims)
+        )
     scan_step = jax.jit(lambda st, fs: jax.lax.scan(step, st, fs))
 
     if not enable_ba:

@@ -43,14 +43,16 @@ def _default_weights_path():
     )
 
 
-def make_superpoint_extractor(
+def make_superpoint_extract_fn(
     cfg: VOConfig, checkpoint_path: str | None = None, seed: int = 0
 ):
-    """Returns extract(img (H, W) [0,1]) -> Features, jitted per shape.
+    """Returns the PURE extract(img (H, W)) -> Features function.
 
-    Weight resolution order: explicit torch checkpoint (converted) >
-    bundled synthetic-pretrained weights (models/train_superpoint.py,
-    MagicPoint-style) > random init.
+    Accepts float in [0, 1] or uint8 (normalized on device). Not jitted —
+    compose under jit/vmap/lax.map (the chunk runner maps it over a
+    frame batch). Weight resolution order: explicit torch checkpoint
+    (converted) > bundled synthetic-pretrained weights
+    (models/train_superpoint.py, MagicPoint-style) > random init.
     """
     model, params = init_superpoint(jax.random.key(seed))
     if checkpoint_path is not None:
@@ -62,11 +64,21 @@ def make_superpoint_extractor(
 
         params = load_params(_default_weights_path())
 
-    @partial(jax.jit, static_argnames=())
     def _extract(img: jnp.ndarray) -> Features:
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) * (1.0 / 255.0)
         img = _pad_to_multiple(img.astype(jnp.float32))
         return superpoint_extract(
             model, params, img, max_keypoints=cfg.padded_keypoints
         )
 
     return _extract
+
+
+def make_superpoint_extractor(
+    cfg: VOConfig, checkpoint_path: str | None = None, seed: int = 0
+):
+    """Returns extract(img (H, W) [0,1]) -> Features, jitted per shape."""
+    return jax.jit(
+        make_superpoint_extract_fn(cfg, checkpoint_path, seed)
+    )

@@ -99,7 +99,16 @@ def select_keypoints(
     mask = mask.at[border : H - border, border : W - border].set(True)
     nms = jnp.where(mask, nms, 0.0)
 
-    scores, idx = jax.lax.top_k(nms.reshape(-1), max_keypoints)
+    # hierarchical top-k: a direct lax.top_k over the ~0.5M-pixel heatmap
+    # sorts the whole array; NMS guarantees sparse survivors so the
+    # grouped two-stage top-k (shared with the SIFT detector) is exact
+    from visualodometry_tpu.frontend.sift import _topk_hier
+
+    # group/t_cap sized for the NMS radius (4 -> >=5 px spacing -> at
+    # most ~205 survivors per 1024-pixel group)
+    scores, idx = _topk_hier(
+        nms.reshape(-1), max_keypoints, group=1024, t_cap=256
+    )
     ys = (idx // W).astype(jnp.float32)
     xs = (idx % W).astype(jnp.float32)
     valid = scores > threshold
@@ -143,7 +152,23 @@ def superpoint_extract(
     max_keypoints: int,
     threshold: float = 0.005,
 ) -> Features:
-    """(H, W) [0,1] image -> Features; H, W must be multiples of 8."""
-    det, desc = model.apply(params, img[None, :, :, None])
+    """(H, W) [0,1] image -> Features; H, W must be multiples of 8.
+
+    The backbone runs in bf16 (weights + activations cast at the call):
+    the MXU's native precision, ~2x the f32 conv throughput, and the
+    heads' outputs go straight into a softmax/normalize that absorbs the
+    quantization. Post-processing stays f32.
+    """
+    params_bf = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if isinstance(a, jnp.ndarray) and a.dtype == jnp.float32
+        else a,
+        params,
+    )
+    det, desc = model.apply(
+        params_bf, img[None, :, :, None].astype(jnp.bfloat16)
+    )
+    det = det.astype(jnp.float32)
+    desc = desc.astype(jnp.float32)
     heat = heatmap_from_logits(det[0])
     return select_keypoints(heat, desc[0], max_keypoints, threshold)
