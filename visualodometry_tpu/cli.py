@@ -100,6 +100,15 @@ def _apply_overrides(cfg, pairs: list[str]):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import jax
+
+    # Persistent XLA compile cache: the chunked runner's scan programs
+    # take minutes to compile on the chip; repeat CLI invocations at the
+    # same shapes should pay that once (tests/bench already do this).
+    jax.config.update("jax_compilation_cache_dir", str(Path.cwd() / ".jax_cache_cli"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from visualodometry_tpu.config import get_config
     from visualodometry_tpu.core.pipeline import VOEngine
     from visualodometry_tpu.data.loaders import make_dataset
