@@ -43,6 +43,9 @@ class VOConfig:
     sift_sigma: float = 1.6
     sift_num_octaves: int = 4
     sift_scales_per_octave: int = 3
+    # orientation/descriptor tap sampling: "auto" = patch-DMA Pallas path
+    # on TPU, flat gathers elsewhere; "gather"/"patch" force a path
+    sift_sampling: str = "auto"
 
     # matcher
     lowe_ratio: float = 0.75  # (reference: src/modules/frontend.py:104)

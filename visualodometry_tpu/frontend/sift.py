@@ -25,6 +25,7 @@ radius-dependent pixel walk.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -298,19 +299,100 @@ def _pack_gradients(gauss: jnp.ndarray):
     return jnp.stack([gx, gy], axis=-1).astype(jnp.bfloat16).reshape(-1, 2)
 
 
+def _pack_gradients_planar(gauss: jnp.ndarray):
+    """Same gradient field as _pack_gradients, laid out (Lvl, 2, H, W).
+
+    This is the layout the patch-DMA path wants: one contiguous
+    (2, P, P) window per keypoint (ops/patches.py). Values are
+    identical to the row-packed field, so the two sampling paths read
+    the same bf16 numbers.
+    """
+    gx, gy = _gradients(gauss)
+    return jnp.stack([gx, gy], axis=1).astype(jnp.bfloat16)
+
+
+def _patch_margin(cfg: VOConfig) -> int:
+    """Upper bound (pixels) on any orientation/descriptor tap offset.
+
+    Descriptor taps are the farthest: |R(gu,gv)|*hist_width with
+    |gu|,|gv| <= 1.875 and hist_width = 3*sigma_rel, sigma_rel <=
+    sigma0 * 2^((S+0.5)/S) (subpixel scale refinement caps at S+0.5).
+    """
+    S = cfg.sift_scales_per_octave
+    sigma_max = cfg.sift_sigma * 2.0 ** ((S + 0.5) / S)
+    desc_off = (2.0**0.5) * 1.875 * 3.0 * sigma_max
+    lin_max = (_ORI_SAMPLES - 1) / _ORI_SAMPLES  # |du| <= this
+    ori_off = 2.5 * 1.5 * sigma_max * lin_max
+    return int(math.ceil(max(desc_off, ori_off)))
+
+
+def _patch_origins(kps: OctaveKeypoints, H: int, W: int, P: int):
+    """Window origins so each keypoint sits (P/2-1, P/2) into its patch.
+
+    Clamped into the image; after clamping, a patch edge coincides with
+    the image edge exactly on the side where clamping bit, so clipping
+    tap coordinates to the patch reproduces the gather path's clip to
+    the image bit-for-bit (taps never overrun the opposite side because
+    tap offsets are bounded by _patch_margin <= P//2 - 1).
+    """
+    x0 = jnp.clip(
+        jnp.floor(kps.xy[:, 0]).astype(jnp.int32) - (P // 2 - 1), 0, W - P
+    )
+    y0 = jnp.clip(
+        jnp.floor(kps.xy[:, 1]).astype(jnp.int32) - (P // 2 - 1), 0, H - P
+    )
+    return y0, x0
+
+
+def _make_patch_sampler(patches: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray):
+    """Nearest-tap (gx, gy) sampler over per-keypoint gradient patches.
+
+    patches: (K, 2, P, P) bf16 from ops/patches.extract_patches. The
+    per-tap selection is TWO one-hot contractions instead of a gather:
+    T1 = Hy @ patch collapses the row choice into a well-shaped
+    (M, P) @ (P, 2P) MXU matmul per keypoint, and the column choice is
+    an elementwise mask-reduce. One-hot selection of bf16 values is
+    exact, so this returns bit-identical samples to the flat-gather
+    path (_nearest_grad_pair) — verified in tests/test_sift_patches.py.
+    """
+    K, C, P, _ = patches.shape
+    # (K, y, c*x) so the row contraction leaves lanes = C*P
+    patcht = patches.transpose(0, 2, 1, 3).reshape(K, P, C * P)
+    iota = jnp.arange(P, dtype=jnp.int32)
+
+    def sample(xs: jnp.ndarray, ys: jnp.ndarray):
+        px = xs - x0[:, None].astype(xs.dtype)
+        py = ys - y0[:, None].astype(ys.dtype)
+        xi = jnp.clip(jnp.round(px), 0.0, P - 1.0).astype(jnp.int32)
+        yi = jnp.clip(jnp.round(py), 0.0, P - 1.0).astype(jnp.int32)
+        hy = (yi[..., None] == iota).astype(patches.dtype)  # (K, M, P)
+        t1 = jnp.einsum(
+            "kmy,kyq->kmq", hy, patcht, preferred_element_type=jnp.float32
+        ).reshape(K, -1, C, P)  # (K, M, 2, P)
+        hx = (xi[..., None] == iota).astype(jnp.float32)  # (K, M, P)
+        g = jnp.einsum("kmcp,kmp->kmc", t1, hx)
+        return g[..., 0], g[..., 1]
+
+    return sample
+
+
 def compute_orientations(
     gauss: jnp.ndarray,
     kps: OctaveKeypoints,
     grad_packed: jnp.ndarray | None = None,
+    sampler=None,
 ) -> jnp.ndarray:
     """Dominant gradient orientation per keypoint (radians), batched.
 
     Fixed 16x16 sample window scaled by 1.5*sigma_rel, 36-bin histogram
     with Gaussian weighting, circular smoothing, parabolic peak
     interpolation — the Lowe recipe at fixed shape.
+
+    `sampler` (from _make_patch_sampler) replaces the flat-gather tap
+    reads with per-keypoint patch contractions; results are identical.
     """
     S_levels, H, W = gauss.shape
-    if grad_packed is None:
+    if sampler is None and grad_packed is None:
         grad_packed = _pack_gradients(gauss)
 
     K = kps.xy.shape[0]
@@ -326,8 +408,11 @@ def compute_orientations(
     xs = kps.xy[:, 0:1] + radius[:, None] * du[None, :]  # (K, 256)
     ys = kps.xy[:, 1:2] + radius[:, None] * dv[None, :]
 
-    lvl = jnp.clip(kps.scale_idx, 0, S_levels - 1)
-    gxs, gys = _nearest_grad_pair(grad_packed, H, W, lvl, xs, ys)
+    if sampler is not None:
+        gxs, gys = sampler(xs, ys)
+    else:
+        lvl = jnp.clip(kps.scale_idx, 0, S_levels - 1)
+        gxs, gys = _nearest_grad_pair(grad_packed, H, W, lvl, xs, ys)
 
     mag = jnp.sqrt(gxs * gxs + gys * gys)
     ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
@@ -374,6 +459,7 @@ def compute_descriptors(
     kps: OctaveKeypoints,
     theta: jnp.ndarray,
     grad_packed: jnp.ndarray | None = None,
+    sampler=None,
 ) -> jnp.ndarray:
     """128-D descriptors: 4x4 spatial x 8 orientation bins, batched.
 
@@ -390,7 +476,7 @@ def compute_descriptors(
     interpolation) at ~1/16th the materialized bytes.
     """
     S_levels, H, W = gauss.shape
-    if grad_packed is None:
+    if sampler is None and grad_packed is None:
         grad_packed = _pack_gradients(gauss)
 
     K = kps.xy.shape[0]
@@ -409,8 +495,11 @@ def compute_descriptors(
     xs = kps.xy[:, 0:1] + ox
     ys = kps.xy[:, 1:2] + oy
 
-    lvl = jnp.clip(kps.scale_idx, 0, S_levels - 1)
-    gxs, gys = _nearest_grad_pair(grad_packed, H, W, lvl, xs, ys)
+    if sampler is not None:
+        gxs, gys = sampler(xs, ys)
+    else:
+        lvl = jnp.clip(kps.scale_idx, 0, S_levels - 1)
+        gxs, gys = _nearest_grad_pair(grad_packed, H, W, lvl, xs, ys)
 
     mag = jnp.sqrt(gxs * gxs + gys * gys)
     ang = jnp.arctan2(gys, gxs) - theta[:, None]
@@ -487,12 +576,35 @@ def extract_sift(img: jnp.ndarray, cfg: VOConfig) -> Features:
     total = cfg.padded_keypoints
     budgets = _octave_budgets(total, cfg.sift_num_octaves)
 
+    mode = getattr(cfg, "sift_sampling", "auto")
+    on_tpu = jax.default_backend() == "tpu"
+    want_patch = mode == "patch" or (mode == "auto" and on_tpu)
+    P = -(-(2 * (_patch_margin(cfg) + 1)) // 8) * 8  # margin <= P//2 - 1
+
     all_xy, all_desc, all_valid = [], [], []
     for o in range(cfg.sift_num_octaves):
         kps = detect_octave(dogs[o], cfg, budgets[o])
-        grad_packed = _pack_gradients(gauss[o])  # shared by both stages
-        theta = compute_orientations(gauss[o], kps, grad_packed)
-        desc = compute_descriptors(gauss[o], kps, theta, grad_packed)
+        _, H_o, W_o = gauss[o].shape
+        fits = H_o >= P and W_o >= P and budgets[o] % 8 == 0
+        if want_patch and fits:
+            # patch-DMA sampling: one (2, P, P) window per keypoint
+            # (ops/patches.py) feeds both stages; bit-identical taps to
+            # the gather path (see _make_patch_sampler)
+            from visualodometry_tpu.ops.patches import extract_patches
+
+            field = _pack_gradients_planar(gauss[o])
+            y0, x0 = _patch_origins(kps, H_o, W_o, P)
+            lvl = jnp.clip(kps.scale_idx, 0, field.shape[0] - 1)
+            patches = extract_patches(
+                field, lvl, y0, x0, patch=P, interpret=not on_tpu
+            )
+            sampler = _make_patch_sampler(patches, y0, x0)
+            theta = compute_orientations(gauss[o], kps, sampler=sampler)
+            desc = compute_descriptors(gauss[o], kps, theta, sampler=sampler)
+        else:
+            grad_packed = _pack_gradients(gauss[o])  # shared by both stages
+            theta = compute_orientations(gauss[o], kps, grad_packed)
+            desc = compute_descriptors(gauss[o], kps, theta, grad_packed)
         # octave coords -> original image pixels
         all_xy.append(kps.xy * (2.0**o))
         all_desc.append(desc)
