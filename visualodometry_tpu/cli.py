@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
         "no viz)",
     )
     p.add_argument(
+        "--platform",
+        choices=["default", "cpu"],
+        default="default",
+        help="JAX platform: 'cpu' forces host execution (the environment's "
+        "TPU plugin otherwise force-selects the chip regardless of "
+        "JAX_PLATFORMS; use this to run when no healthy chip is attached)",
+    )
+    p.add_argument(
         "--set",
         dest="overrides",
         action="append",
@@ -101,6 +109,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent XLA compile cache: the chunked runner's scan programs
     # take minutes to compile on the chip; repeat CLI invocations at the

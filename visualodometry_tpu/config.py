@@ -86,7 +86,9 @@ class VOConfig:
     # -- TPU runtime section (new; no reference analog) ---------------------
     map_capacity: int = 20480  # landmark slots (reference caps at 20000,
     #                            src/modules/vo.py:38; rounded to 128 lanes)
-    essential_hypotheses: int = 512  # batched 8-point RANSAC hypotheses
+    essential_hypotheses: int = 512  # batched RANSAC minimal samples
+    essential_solver: str = "5point"  # "5point" (Nistér, = cv2.findEssentialMat's
+    #                                   algorithm, planar-safe) | "8point"
     pnp_hypotheses: int = 512  # batched DLT-PnP RANSAC hypotheses
     pnp_refine_iters: int = 10  # damped GN iterations on inliers
     seed: int = 0

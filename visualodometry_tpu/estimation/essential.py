@@ -90,6 +90,109 @@ def _sampson_sq(E: jnp.ndarray, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray
     return (x1Ex0 * x1Ex0) / jnp.maximum(denom, 1e-12)
 
 
+def _essential_from_rt(w: jnp.ndarray, R0: jnp.ndarray, tvec: jnp.ndarray) -> jnp.ndarray:
+    """E = [t]x (exp(w) R0) with t the (unnormalized) translation."""
+    from visualodometry_tpu.geometry.so3 import so3_exp
+
+    R = so3_exp(w) @ R0
+    tx = jnp.array(
+        [
+            [0.0, -tvec[2], tvec[1]],
+            [tvec[2], 0.0, -tvec[0]],
+            [-tvec[1], tvec[0], 0.0],
+        ],
+        dtype=R.dtype,
+    )
+    return tx @ R
+
+
+def refine_essential_manifold(
+    E: jnp.ndarray,
+    x0: jnp.ndarray,
+    x1: jnp.ndarray,
+    weights: jnp.ndarray,
+    iters: int = 5,
+) -> jnp.ndarray:
+    """GN refinement of E on the essential manifold (5 DOF).
+
+    Minimizes the weighted signed Sampson residual over the inliers,
+    parametrized as (so(3) perturbation of R, 2-dof tangent of the unit
+    translation) — well-posed even on planar scenes, where a least-squares
+    re-fit in the 9-dim linear space is degenerate (any member of the
+    homography-compatible family fits a plane). This is the reason the
+    five-point path must NOT be re-fit with the 8-point system.
+
+    x0, x1: (N, 2) normalized coords; weights: (N,) float (0 = ignore).
+    """
+    from visualodometry_tpu.geometry.linalg import solve_psd_small
+
+    # decompose E -> (R, t) once; cheirality does not matter for Sampson
+    U, _, Vt = svd3(E)
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R0 = U @ W @ Vt
+    t0 = U[:, 2]
+
+    ones = jnp.ones_like(x0[..., :1])
+    X0 = jnp.concatenate([x0, ones], axis=-1)  # (N, 3)
+    X1 = jnp.concatenate([x1, ones], axis=-1)
+
+    def residuals(params, R0, t0):
+        w_rot = params[:3]
+        # tangent basis of the sphere at t0 (t0 stays unit under projection)
+        b1 = _any_unit_orthogonal(t0)
+        b2 = jnp.cross(t0, b1)
+        t = t0 + params[3] * b1 + params[4] * b2
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+        Em = _essential_from_rt(w_rot, R0, t)
+        Ex0 = X0 @ Em.T
+        Etx1 = X1 @ Em
+        num = jnp.sum(X1 * Ex0, axis=-1)
+        den = jnp.sqrt(
+            jnp.maximum(
+                Ex0[:, 0] ** 2 + Ex0[:, 1] ** 2 + Etx1[:, 0] ** 2 + Etx1[:, 1] ** 2,
+                1e-12,
+            )
+        )
+        return (num / den) * weights
+
+    def step(carry, _):
+        R0, t0 = carry
+        zero = jnp.zeros(5, dtype=E.dtype)
+        r = residuals(zero, R0, t0)
+        J = jax.jacfwd(residuals)(zero, R0, t0)  # (N, 5)
+        JtJ = jnp.matmul(J.T, J, precision="highest")
+        Jtr = jnp.matmul(J.T, r, precision="highest")
+        lam = 1e-6 * jnp.trace(JtJ) / 5.0 + 1e-12
+        delta = -solve_psd_small(JtJ + lam * jnp.eye(5, dtype=E.dtype), Jtr)
+        # re-center the parametrization at the refined pose
+        from visualodometry_tpu.geometry.so3 import so3_exp
+
+        R_new = so3_exp(delta[:3]) @ R0
+        b1 = _any_unit_orthogonal(t0)
+        b2 = jnp.cross(t0, b1)
+        t_new = t0 + delta[3] * b1 + delta[4] * b2
+        t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), 1e-12)
+        return (R_new, t_new), None
+
+    (R_f, t_f), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    E_f = _essential_from_rt(jnp.zeros(3, E.dtype), R_f, t_f)
+    norm = jnp.maximum(jnp.linalg.norm(E_f), 1e-12)
+    return E_f / norm
+
+
+def _any_unit_orthogonal(v: jnp.ndarray) -> jnp.ndarray:
+    """A unit vector orthogonal to unit v (3,), branchless."""
+    e = jnp.where(
+        jnp.abs(v[0]) <= jnp.abs(v[2]),
+        jnp.array([1.0, 0.0, 0.0], v.dtype),
+        jnp.array([0.0, 0.0, 1.0], v.dtype),
+    )
+    u = jnp.cross(v, e)
+    return u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+
+
 def estimate_essential_ransac(
     uv0: jnp.ndarray,
     uv1: jnp.ndarray,
@@ -98,33 +201,73 @@ def estimate_essential_ransac(
     cfg: VOConfig,
     key: jax.Array,
 ) -> EssentialResult:
-    """Batched 8-point RANSAC over padded correspondence arrays.
+    """Batched essential-matrix RANSAC over padded correspondence arrays.
 
     uv0, uv1: (N, 2) pixel coords; valid: (N,) mask of live matches.
+    `cfg.essential_solver` selects the hypothesis generator: "5point" is
+    the Nistér minimal solver (the algorithm behind the reference's
+    `cv2.findEssentialMat`, handles planar scenes); "8point" is the
+    least-squares solver (one eigh per sample, cheaper per hypothesis but
+    degenerate on planar scenes). Scoring and re-fit are shared.
     """
     x0 = pixels_to_normalized(uv0, K)
     x1 = pixels_to_normalized(uv1, K)
 
     H = cfg.essential_hypotheses
-    idx = sample_valid_indices(key, valid, H, 8)  # (H, 8)
-
     rows_all = _eight_point_system(x0, x1)  # (N, 9)
-    sample_rows = rows_all[idx]  # (H, 8, 9)
-    E_h = _solve_e_from_rows(sample_rows)  # (H, 3, 3)
+
+    if cfg.essential_solver == "5point":
+        from visualodometry_tpu.estimation.fivepoint import five_point_candidates
+
+        idx = sample_valid_indices(key, valid, H, 5)  # (H, 5)
+        E_c, cand_ok = five_point_candidates(x0[idx], x1[idx])  # (H, 10, 3, 3)
+        E_h = E_c.reshape(-1, 3, 3)  # (H*10, 3, 3)
+        hyp_ok = cand_ok.reshape(-1)
+    else:
+        idx = sample_valid_indices(key, valid, H, 8)  # (H, 8)
+        E_h = _solve_e_from_rows(rows_all[idx])  # (H, 3, 3)
+        hyp_ok = jnp.ones((H,), bool)
 
     # threshold in normalized coordinates (OpenCV divides by focal length)
     f_mean = 0.5 * (K[0, 0] + K[1, 1])
     thresh = cfg.init_ransac_thresh / f_mean
     thresh_sq = thresh * thresh
 
-    d2 = _sampson_sq(E_h, x0, x1)  # (H, N)
-    inlier_mat = (d2 < thresh_sq) & valid[None, :]
+    d2 = _sampson_sq(E_h, x0, x1)  # (H', N)
+    inlier_mat = (d2 < thresh_sq) & valid[None, :] & hyp_ok[:, None]
     counts = jnp.sum(inlier_mat, axis=1)
     best = jnp.argmax(counts)
 
-    # final least-squares re-fit on the winning inlier set
+    # final re-fit on the winning inlier set. The 5-point path refines on
+    # the essential MANIFOLD (rotation + translation direction): a linear
+    # 9-dim least-squares re-fit is degenerate on planar scenes (it gains
+    # inliers while sliding along the homography-compatible family of E's),
+    # which would throw away exactly the planar robustness the minimal
+    # solver provides. Planar scenes also admit TWO full-support local
+    # minima (the twisted pair of homography decompositions), so inlier
+    # COUNT cannot pick the true motion: refine the top-k hypotheses and
+    # select by continuous MSAC cost (truncated Sampson), whose global
+    # minimum is the true solution. The 8-point path keeps the linear
+    # re-fit (it is already planar-degenerate; re-fit matches its
+    # semantics).
     best_inliers = inlier_mat[best]
-    E = _solve_e_from_rows(rows_all, best_inliers.astype(rows_all.dtype))
+    if cfg.essential_solver == "5point":
+        k_top = min(8, E_h.shape[0])
+        _, top_idx = jax.lax.top_k(counts, k_top)
+        E_top = E_h[top_idx]  # (k, 3, 3)
+        w_top = inlier_mat[top_idx].astype(x0.dtype)  # (k, N)
+        E_ref = jax.vmap(
+            lambda Ei, wi: refine_essential_manifold(Ei, x0, x1, wi)
+        )(E_top, w_top)
+        # MSAC cost over valid correspondences, shared truncation
+        d2_ref = _sampson_sq(E_ref, x0, x1)  # (k, N)
+        cost = jnp.sum(
+            jnp.minimum(d2_ref, thresh_sq) * valid[None, :], axis=1
+        )
+        pick = jnp.argmin(cost)
+        E = E_ref[pick]
+    else:
+        E = _solve_e_from_rows(rows_all, best_inliers.astype(rows_all.dtype))
     final_d2 = _sampson_sq(E, x0, x1)
     final_inliers = (final_d2 < thresh_sq) & valid
     num = jnp.sum(final_inliers).astype(jnp.int32)
