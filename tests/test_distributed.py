@@ -143,3 +143,74 @@ class TestMultiSequence:
                     np.asarray(sout.T_wc),
                     atol=0.15,
                 )
+
+    def test_fivepoint_behavioral_equivalence(self):
+        """Default (5-point) solver under vmap vs serial (VERDICT r1 #7).
+
+        The Durand-Kerner + GN chain amplifies batched-layout round-off,
+        so iterated rollouts diverge chaotically and bitwise comparison
+        is meaningless. Instead the serial states are RESYNCED into the
+        batched state before every frame: each batched step then sees
+        bit-identical inputs to its serial twin, and the assertion is
+        behavioral — same branch decisions, rotation within a 2-degree
+        cone, translation within 10% of the motion scale.
+        """
+        B = 8
+        n_slots = 256
+        cfg = VOConfig(
+            extractor_type="synthetic",
+            max_keypoints=n_slots,
+            sift_n_features=n_slots,
+            min_median_flow=3.0,
+            pnp_reproj_err=2.0,
+            essential_hypotheses=128,
+            pnp_hypotheses=128,
+            map_capacity=1024,
+            essential_solver="5point",  # the default solver, on purpose
+        )
+        feat_seqs = []
+        for b in range(B):
+            rng_b = np.random.default_rng(200 + b)
+            scene = make_scene(
+                rng_b, num_frames=5, speed=1.2, num_landmarks=1500
+            )
+            feat_seqs.append(
+                [
+                    render_features(scene, f, n_slots, rng_b, pixel_noise=0.2)
+                    for f in range(5)
+                ]
+            )
+
+        mesh = make_mesh(num_seq=8, num_map=1)
+        Kj = jnp.asarray(K)
+        mstep = make_multiseq_step_fn(cfg, Kj, mesh)
+        step = jax.jit(make_step_fn(cfg, Kj))
+        sstates = [init_state(cfg, 128, seed=cfg.seed + b) for b in range(B)]
+
+        checked_tracking = 0
+        for f in range(5):
+            # resync: batched state := stack of the serial states
+            mstate = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *sstates
+            )
+            batch_feats = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[fs[f] for fs in feat_seqs]
+            )
+            _, mout = mstep(mstate, batch_feats)
+            for b in range(B):
+                sstates[b], sout = step(sstates[b], feat_seqs[b][f])
+                assert bool(mout.initialized[b]) == bool(sout.initialized)
+                assert bool(mout.did_reset[b]) == bool(sout.did_reset)
+                if not bool(sout.initialized):
+                    continue
+                R_m = np.asarray(mout.T_wc[b])[:3, :3]
+                R_s = np.asarray(sout.T_wc)[:3, :3]
+                cos = (np.trace(R_m.T @ R_s) - 1.0) / 2.0
+                angle_deg = np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+                assert angle_deg < 2.0, (f, b, angle_deg)
+                t_m = np.asarray(mout.T_wc[b])[:3, 3]
+                t_s = np.asarray(sout.T_wc)[:3, 3]
+                scale = max(np.linalg.norm(t_s), 1.0)
+                assert np.linalg.norm(t_m - t_s) < 0.1 * scale, (f, b)
+                checked_tracking += 1
+        assert checked_tracking >= B  # the cone check genuinely ran

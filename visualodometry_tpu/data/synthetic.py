@@ -166,6 +166,138 @@ def render_features(
     return pad_features(kps.astype(np.float32), desc, num_slots)
 
 
+def _value_noise(u: np.ndarray, v: np.ndarray, seed: int) -> np.ndarray:
+    """Multi-octave value noise sampled at world coords (u, v) in [0,1]."""
+    rng = np.random.default_rng(seed)
+    out = np.zeros_like(u, dtype=np.float32)
+    amp, total = 1.0, 0.0
+    for octave in range(5):
+        freq = 0.7 * (2.0**octave)
+        # hashed lattice: a fixed random grid per octave, bilinear interp
+        grid = rng.uniform(0, 1, (64, 64)).astype(np.float32)
+        x = (u * freq) % 64.0
+        y = (v * freq) % 64.0
+        x0 = np.floor(x).astype(int) % 64
+        y0 = np.floor(y).astype(int) % 64
+        x1 = (x0 + 1) % 64
+        y1 = (y0 + 1) % 64
+        fx = (x - np.floor(x)).astype(np.float32)
+        fy = (y - np.floor(y)).astype(np.float32)
+        val = (
+            grid[y0, x0] * (1 - fx) * (1 - fy)
+            + grid[y0, x1] * fx * (1 - fy)
+            + grid[y1, x0] * (1 - fx) * fy
+            + grid[y1, x1] * fx * fy
+        )
+        out += amp * val
+        total += amp
+        amp *= 0.55
+    return out / total
+
+
+def render_textured_image(
+    scene: SyntheticScene,
+    frame: int,
+    with_depth: bool = False,
+    ground_y: float = 2.0,
+    wall_x: float = 14.0,
+):
+    """Ray-cast a textured corridor world (ground plane + two side walls).
+
+    Unlike `render_image`'s Gaussian-dot fixture, this produces dense
+    natural-looking texture (multi-octave value noise on real 3D surfaces
+    under true perspective), suitable for comparing the SIFT frontend
+    against `cv2.SIFT` on repeatability/match metrics (reference frontend:
+    src/modules/frontend.py:27-32). Geometry is exactly known, so ground-
+    truth pixel correspondences between frames come from the returned
+    depth map. Returns (H, W) float32 in [0, 1]; with `with_depth`, also
+    the (H, W) float32 depth (camera z; inf for sky).
+    """
+    W, H = scene.image_size
+    T_wc = scene.poses_T_wc[frame]
+    R_wc = T_wc[:3, :3]
+    origin = T_wc[:3, 3]
+    fx, fy = scene.K[0, 0], scene.K[1, 1]
+    cx, cy = scene.K[0, 2], scene.K[1, 2]
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    d_cam = np.stack(
+        [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float32)],
+        axis=-1,
+    ).astype(np.float32)
+    d_w = d_cam @ R_wc.T  # (H, W, 3)
+
+    img = np.zeros((H, W), np.float32)
+    depth = np.full((H, W), np.inf, np.float32)
+    best_t = np.full((H, W), np.inf, np.float32)
+
+    def shade(t, valid, texture_uv, seed, shade_scale):
+        nonlocal img, depth, best_t
+        hit = valid & (t > 0.5) & (t < best_t)
+        if not hit.any():
+            return
+        tex = _value_noise(texture_uv[0][hit], texture_uv[1][hit], seed)
+        img[hit] = (0.15 + 0.8 * tex) * shade_scale
+        best_t[hit] = t[hit]
+        depth[hit] = (t * d_cam[..., 2])[hit]
+
+    # ground plane y = ground_y (y points down)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tg = (ground_y - origin[1]) / d_w[..., 1]
+        pg = origin + tg[..., None] * d_w
+        shade(tg, d_w[..., 1] > 1e-6, (pg[..., 0], pg[..., 2]), 101, 1.0)
+        # side walls x = origin-relative +/- wall_x (world-fixed planes)
+        for sx, seed in ((-wall_x, 202), (wall_x, 303)):
+            tw = (sx - origin[0]) / d_w[..., 0]
+            pw = origin + tw[..., None] * d_w
+            wall_valid = np.abs(d_w[..., 0]) > 1e-6
+            # walls have finite height: below top edge only
+            wall_valid &= pw[..., 1] > -6.0
+            shade(tw, wall_valid, (pw[..., 2], pw[..., 1]), seed, 0.9)
+
+    if with_depth:
+        return img, depth
+    return img
+
+
+def gt_correspondence(
+    scene: SyntheticScene,
+    frame_a: int,
+    frame_b: int,
+    kps_a: np.ndarray,
+    depth_a: np.ndarray,
+):
+    """Map pixel keypoints in frame A to their true locations in frame B.
+
+    Uses frame A's rendered depth to unproject each keypoint to a world
+    point, then projects into frame B. Returns (uv_b (N,2), valid (N,))
+    where valid marks finite depth and in-front-of-camera in B.
+    """
+    W, H = scene.image_size
+    Kmat = scene.K
+    xi = np.clip(np.round(kps_a[:, 0]).astype(int), 0, W - 1)
+    yi = np.clip(np.round(kps_a[:, 1]).astype(int), 0, H - 1)
+    z = depth_a[yi, xi]
+    ok = np.isfinite(z)
+    z = np.where(ok, z, 0.0)  # keep the math NaN-free for masked slots
+    d_cam = np.stack(
+        [
+            (kps_a[:, 0] - Kmat[0, 2]) / Kmat[0, 0],
+            (kps_a[:, 1] - Kmat[1, 2]) / Kmat[1, 1],
+            np.ones(len(kps_a)),
+        ],
+        axis=1,
+    )
+    T_a = scene.poses_T_wc[frame_a]
+    p_w = (d_cam * z[:, None]) @ T_a[:3, :3].T + T_a[:3, 3]
+    T_b = scene.poses_T_wc[frame_b]
+    R_cw = T_b[:3, :3].T
+    p_c = (p_w - T_b[:3, 3]) @ R_cw.T
+    ok &= p_c[:, 2] > 0.5
+    uv = p_c[:, :2] / np.maximum(p_c[:, 2:], 1e-9)
+    uv = uv * [Kmat[0, 0], Kmat[1, 1]] + [Kmat[0, 2], Kmat[1, 2]]
+    return uv.astype(np.float32), ok
+
+
 def render_image(
     scene: SyntheticScene,
     frame: int,

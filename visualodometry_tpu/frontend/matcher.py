@@ -25,7 +25,11 @@ class MatchResult(NamedTuple):
     valid: jnp.ndarray  # (N0,) bool — passed validity + ratio (+ mutual)
 
 
-_BIG = jnp.float32(1e30)
+# Python float, NOT jnp.float32(...): a module-level device constant
+# would initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize (must run before any backend touch —
+# parallel/runtime.py).
+_BIG = 1e30
 
 
 def _top2_jnp(desc0, desc1, valid1):
