@@ -1,0 +1,345 @@
+"""Homography-supervised SuperPoint training on textured imagery.
+
+Round-1's blob pretraining (train_superpoint.py) taught the CNN
+"bright Gaussian = keypoint" — it scored 81% hit@3px on dot worlds and
+then fell apart on the textured ray-cast fixture (10 tracking resets,
+ATE 8.3 m — BENCH r2 probes). This module is the fix, following the
+same curriculum the SuperPoint authors used after MagicPoint (DeTone et
+al.: homographic adaptation on real images; reference consumes the
+released weights at src/modules/frontend.py:17-22):
+
+- images: multi-octave value-noise texture + random shaded polygons +
+  brightness/gamma jitter — the texture statistics of the rendered
+  corridor fixture (data/synthetic.render_textured_image) rather than
+  isolated blobs;
+- views: related by a random PERSPECTIVE homography (not an integer
+  shift), with photometric jitter applied independently per view;
+- detector labels: per-view Harris corners, one 65-way label per 8x8
+  cell (the classical detector is the repeatability teacher — the same
+  role the SIFT frontend plays for the matcher tests);
+- descriptor loss: symmetric InfoNCE between homography-corresponding
+  cells of the two views.
+
+Training runs on whatever backend is up (the v5e when attached); the
+batch generator is pure numpy on the host, overlapped with device steps
+by simple double-buffering in `pretrain_textured`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from visualodometry_tpu.models.superpoint import SuperPointBackbone
+
+
+class TrainBatchH(NamedTuple):
+    img0: jnp.ndarray  # (B, H, W) float32 in [0, 1]
+    img1: jnp.ndarray  # (B, H, W) homography-warped second view
+    labels0: jnp.ndarray  # (B, Hc, Wc) int32 cell class in [0, 64]
+    labels1: jnp.ndarray  # (B, Hc, Wc)
+    cell_tgt: jnp.ndarray  # (B, Hc, Wc, 2) int32 (ti, tj) in view 1
+    cell_valid: jnp.ndarray  # (B, Hc, Wc) bool correspondence in-bounds
+
+
+# ------------------------- image synthesis (numpy) -------------------------
+
+
+def _value_noise(rng: np.random.Generator, H: int, W: int) -> np.ndarray:
+    """Multi-octave value noise in [0, 1] (texture base)."""
+    out = np.zeros((H, W), np.float32)
+    amp, total = 1.0, 0.0
+    for octave in range(5):
+        g = 4 * (2**octave)
+        grid = rng.uniform(0, 1, (g + 2, g + 2)).astype(np.float32)
+        ys = np.linspace(0, g, H, endpoint=False)
+        xs = np.linspace(0, g, W, endpoint=False)
+        y0 = ys.astype(int)
+        x0 = xs.astype(int)
+        fy = (ys - y0)[:, None].astype(np.float32)
+        fx = (xs - x0)[None, :].astype(np.float32)
+        v = (
+            grid[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+            + grid[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+            + grid[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+            + grid[np.ix_(y0 + 1, x0 + 1)] * fy * fx
+        )
+        out += amp * v
+        total += amp
+        amp *= 0.55
+    return out / total
+
+
+def _add_polygons(rng: np.random.Generator, img: np.ndarray, n: int = 6):
+    """Overlay shaded convex quads — corner/edge structure on the texture."""
+    H, W = img.shape
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    for _ in range(n):
+        cx, cy = rng.uniform(0, W), rng.uniform(0, H)
+        r = rng.uniform(6, min(H, W) * 0.35)
+        k = rng.integers(3, 6)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        vx = cx + r * np.cos(ang)
+        vy = cy + r * np.sin(ang)
+        inside = np.ones((H, W), bool)
+        for i in range(k):
+            ex, ey = vx[(i + 1) % k] - vx[i], vy[(i + 1) % k] - vy[i]
+            inside &= (xx - vx[i]) * ey - (yy - vy[i]) * ex <= 0
+        shade = rng.uniform(-0.5, 0.5)
+        img[inside] = np.clip(img[inside] + shade, 0.0, 1.0)
+    return img
+
+
+def _random_homography(
+    rng: np.random.Generator, H: int, W: int, strength: float
+) -> np.ndarray:
+    """3x3 map from view-0 pixels to view-1 pixels (corner jitter)."""
+    src = np.array(
+        [[0, 0], [W - 1, 0], [W - 1, H - 1], [0, H - 1]], np.float64
+    )
+    jit = rng.uniform(-strength, strength, (4, 2)) * [W, H]
+    dst = src + jit
+    # DLT for the 8 unknowns
+    A, b = [], []
+    for (x, y), (u, v) in zip(src, dst):
+        A.append([x, y, 1, 0, 0, 0, -u * x, -u * y])
+        b.append(u)
+        A.append([0, 0, 0, x, y, 1, -v * x, -v * y])
+        b.append(v)
+    h = np.linalg.solve(np.asarray(A), np.asarray(b))
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+def _warp(img: np.ndarray, Hmat: np.ndarray) -> np.ndarray:
+    """Inverse bilinear warp: out(p) = img(H^-1 p)."""
+    H, W = img.shape
+    Hinv = np.linalg.inv(Hmat)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    ones = np.ones_like(xx)
+    p = np.stack([xx, yy, ones], axis=0).reshape(3, -1)
+    q = Hinv @ p
+    qx = (q[0] / q[2]).reshape(H, W)
+    qy = (q[1] / q[2]).reshape(H, W)
+    x0 = np.clip(np.floor(qx).astype(int), 0, W - 2)
+    y0 = np.clip(np.floor(qy).astype(int), 0, H - 2)
+    fx = np.clip(qx - x0, 0, 1).astype(np.float32)
+    fy = np.clip(qy - y0, 0, 1).astype(np.float32)
+    out = (
+        img[y0, x0] * (1 - fy) * (1 - fx)
+        + img[y0, x0 + 1] * (1 - fy) * fx
+        + img[y0 + 1, x0] * fy * (1 - fx)
+        + img[y0 + 1, x0 + 1] * fy * fx
+    )
+    inb = (qx >= 0) & (qx <= W - 1) & (qy >= 0) & (qy <= H - 1)
+    return np.where(inb, out, 0.0).astype(np.float32)
+
+
+def _box(img: np.ndarray, r: int) -> np.ndarray:
+    """(2r+1)-box filter via cumsum (Harris structure tensor smoothing)."""
+    H, W = img.shape
+    pad = np.pad(img, r + 1, mode="edge")
+    c = pad.cumsum(0).cumsum(1)
+    s = 2 * r + 1
+    return (
+        c[s:, s:] - c[:-s, s:] - c[s:, :-s] + c[:-s, :-s]
+    )[:H, :W] / (s * s)
+
+
+def _harris_cell_labels(
+    img: np.ndarray, max_cells: int = 48, rel_thresh: float = 0.01
+) -> np.ndarray:
+    """65-way per-8x8-cell labels from Harris corner responses."""
+    H, W = img.shape
+    hc, wc = H // 8, W // 8
+    gy, gx = np.gradient(img.astype(np.float32))
+    Sxx, Syy, Sxy = _box(gx * gx, 2), _box(gy * gy, 2), _box(gx * gy, 2)
+    R = (Sxx * Syy - Sxy * Sxy) - 0.05 * (Sxx + Syy) ** 2
+    R[:4, :] = R[-4:, :] = 0.0
+    R[:, :4] = R[:, -4:] = 0.0
+    cells = R[: hc * 8, : wc * 8].reshape(hc, 8, wc, 8).transpose(0, 2, 1, 3)
+    flat = cells.reshape(hc, wc, 64)
+    best = flat.argmax(-1)
+    score = flat.max(-1)
+    order = np.argsort(score.ravel())[::-1][:max_cells]
+    labels = np.full((hc, wc), 64, np.int32)  # dustbin
+    keep = np.zeros(hc * wc, bool)
+    keep[order] = True
+    # relative gate: texture contrast varies with the photometric jitter,
+    # so an absolute Harris threshold either starves or floods the labels
+    keep &= score.ravel() > rel_thresh * max(score.max(), 1e-12)
+    labels.ravel()[keep] = best.ravel()[keep]
+    return labels
+
+
+def textured_batch(
+    rng: np.random.Generator,
+    batch: int = 16,
+    hw: tuple[int, int] = (120, 160),
+    strength: float = 0.12,
+) -> TrainBatchH:
+    H, W = hw
+    hc, wc = H // 8, W // 8
+    img0 = np.zeros((batch, H, W), np.float32)
+    img1 = np.zeros((batch, H, W), np.float32)
+    labels0 = np.zeros((batch, hc, wc), np.int32)
+    labels1 = np.zeros((batch, hc, wc), np.int32)
+    cell_tgt = np.zeros((batch, hc, wc, 2), np.int32)
+    cell_valid = np.zeros((batch, hc, wc), bool)
+
+    ci = (np.arange(hc) * 8 + 3.5)[:, None]
+    cj = (np.arange(wc) * 8 + 3.5)[None, :]
+    for b in range(batch):
+        base = _add_polygons(rng, _value_noise(rng, H, W))
+        Hmat = _random_homography(rng, H, W, strength)
+        view1 = _warp(base, Hmat)
+
+        def jitter(im):
+            g = rng.uniform(0.7, 1.4)
+            gain = rng.uniform(0.7, 1.2)
+            off = rng.uniform(-0.08, 0.08)
+            im = np.clip(gain * np.power(im, g) + off, 0, 1)
+            return np.clip(
+                im + rng.normal(0, 0.02, im.shape), 0, 1
+            ).astype(np.float32)
+
+        img0[b] = jitter(base)
+        img1[b] = jitter(view1)
+        labels0[b] = _harris_cell_labels(img0[b])
+        labels1[b] = _harris_cell_labels(img1[b])
+
+        # cell correspondence: cell centers of view 0 through H
+        px = Hmat[0, 0] * cj + Hmat[0, 1] * ci + Hmat[0, 2]
+        py = Hmat[1, 0] * cj + Hmat[1, 1] * ci + Hmat[1, 2]
+        pw = Hmat[2, 0] * cj + Hmat[2, 1] * ci + Hmat[2, 2]
+        u, v = px / pw, py / pw
+        tj, ti = (u // 8).astype(np.int32), (v // 8).astype(np.int32)
+        cell_valid[b] = (ti >= 0) & (ti < hc) & (tj >= 0) & (tj < wc)
+        cell_tgt[b, ..., 0] = np.clip(ti, 0, hc - 1)
+        cell_tgt[b, ..., 1] = np.clip(tj, 0, wc - 1)
+
+    return TrainBatchH(
+        img0=jnp.asarray(img0),
+        img1=jnp.asarray(img1),
+        labels0=jnp.asarray(labels0),
+        labels1=jnp.asarray(labels1),
+        cell_tgt=jnp.asarray(cell_tgt),
+        cell_valid=jnp.asarray(cell_valid),
+    )
+
+
+# ------------------------------- losses -----------------------------------
+
+
+def loss_fn_h(
+    params, model: SuperPointBackbone, batch: TrainBatchH, desc_w=1.0
+):
+    det0, desc0 = model.apply(params, batch.img0[..., None])
+    det1, desc1 = model.apply(params, batch.img1[..., None])
+    B, hc, wc, _ = det0.shape
+
+    def ce(det, labels):
+        logp = jax.nn.log_softmax(det, axis=-1)
+        onehot = jax.nn.one_hot(labels, 65, dtype=logp.dtype)
+        return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+
+    det_loss = 0.5 * (ce(det0, batch.labels0) + ce(det1, batch.labels1))
+
+    # symmetric InfoNCE over homography-corresponding cells
+    bidx = jnp.arange(B)[:, None, None]
+    d1_at = desc1[bidx, batch.cell_tgt[..., 0], batch.cell_tgt[..., 1]]
+    d0_flat = desc0.reshape(B, hc * wc, -1)
+    d1_flat = d1_at.reshape(B, hc * wc, -1)
+    mask = batch.cell_valid.reshape(B, hc * wc)
+    sim = jnp.einsum("bnd,bmd->bnm", d0_flat, d1_flat) / 0.1
+    labels_nce = jnp.arange(hc * wc)[None, :].repeat(B, 0)
+
+    def nce(s):
+        logp = jax.nn.log_softmax(s, axis=-1)
+        return -jnp.take_along_axis(logp, labels_nce[..., None], -1)[..., 0]
+
+    per_cell = 0.5 * (nce(sim) + nce(sim.transpose(0, 2, 1)))
+    desc_loss = jnp.sum(per_cell * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return det_loss + desc_w * desc_loss, (det_loss, desc_loss)
+
+
+def make_train_step_h(
+    model: SuperPointBackbone, tx, axis_name: str | None = None
+):
+    def step(params, opt_state, batch: TrainBatchH):
+        (loss, aux), grads = jax.value_and_grad(loss_fn_h, has_aux=True)(
+            params, model, batch
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return step
+
+
+def pretrain_textured(
+    steps: int = 2000,
+    batch: int = 24,
+    lr: float = 1e-3,
+    seed: int = 0,
+    hw: tuple[int, int] = (120, 160),
+    init_params=None,
+    log_every: int = 100,
+    curriculum=((0.04, 0.3), (0.12, 1.0)),
+):
+    """Train with a warp-strength curriculum; returns (model, params, log).
+
+    `curriculum` is a list of (strength, fraction-of-steps-boundary):
+    easy near-affine warps first, full perspective after.
+    """
+    import threading
+    import queue
+
+    model = SuperPointBackbone()
+    rng = np.random.default_rng(seed)
+    params = (
+        init_params
+        if init_params is not None
+        else model.init(jax.random.key(seed), jnp.zeros((1, hw[0], hw[1], 1)))
+    )
+    tx = optax.adam(optax.linear_schedule(lr, lr * 0.1, steps))
+    opt_state = tx.init(params)
+    train_step = jax.jit(make_train_step_h(model, tx))
+
+    def strength_at(i):
+        frac = i / steps
+        for s, bound in curriculum:
+            if frac < bound:
+                return s
+        return curriculum[-1][0]
+
+    # host-side batch generation overlapped with device steps
+    q: queue.Queue = queue.Queue(maxsize=4)
+
+    def producer():
+        for i in range(steps):
+            q.put(textured_batch(rng, batch=batch, hw=hw, strength=strength_at(i)))
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    log = []
+    i = 0
+    while True:
+        b = q.get()
+        if b is None:
+            break
+        params, opt_state, loss, aux = train_step(params, opt_state, b)
+        if i % log_every == 0 or i == steps - 1:
+            log.append(
+                (i, float(loss), float(aux[0]), float(aux[1]))
+            )
+        i += 1
+    return model, params, log

@@ -9,8 +9,8 @@ MXU, and reduces min / argmin / second-min in-register — the distance
 matrix never exists in HBM.
 
 Interface matches the jnp path exactly (same best/second/argbest results),
-verified in tests/test_match_pallas.py in interpreter mode and on-device
-by bench comparisons.
+verified in tests/test_match.py (interpret-mode parity vs the jnp
+matcher) and on-device by bench comparisons.
 """
 
 from __future__ import annotations

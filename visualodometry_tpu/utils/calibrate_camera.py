@@ -92,16 +92,67 @@ def calibrate_charuco(
     return K, float(np.mean(errs)), len(all_obj)
 
 
+def generate_board_image(
+    out_path,
+    squares_x: int = 10,
+    squares_y: int = 7,
+    square_len: float = 0.025,
+    marker_len: float = 0.018,
+    dictionary: str = "DICT_4X4_100",
+    px_per_square: int = 120,
+) -> None:
+    """Render the ChArUco board pattern to a printable PNG.
+
+    The reference ships a pre-rendered pattern file
+    (reference: src/utils/charuco_board_pattern.png); here it is
+    generated on demand for any board geometry so the calibration CLI
+    and the target it expects always agree.
+    """
+    import cv2
+    from cv2 import aruco
+
+    board = aruco.CharucoBoard(
+        (squares_x, squares_y),
+        square_len,
+        marker_len,
+        aruco.getPredefinedDictionary(getattr(aruco, dictionary)),
+    )
+    img = board.generateImage(
+        (squares_x * px_per_square, squares_y * px_per_square),
+        marginSize=px_per_square // 4,
+    )
+    cv2.imwrite(str(out_path), img)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="ChArUco intrinsics calibration")
-    p.add_argument("--images", type=Path, required=True)
+    p.add_argument("--images", type=Path)
     p.add_argument("--out", type=Path, default=Path("K.txt"))
     p.add_argument("--squares-x", type=int, default=10)
     p.add_argument("--squares-y", type=int, default=7)
     p.add_argument("--square-len", type=float, default=0.025)
     p.add_argument("--marker-len", type=float, default=0.018)
     p.add_argument("--dictionary", type=str, default="DICT_4X4_100")
+    p.add_argument(
+        "--make-board",
+        type=Path,
+        help="instead of calibrating, render the board pattern PNG here",
+    )
     args = p.parse_args(argv)
+
+    if args.make_board is not None:
+        generate_board_image(
+            args.make_board,
+            squares_x=args.squares_x,
+            squares_y=args.squares_y,
+            square_len=args.square_len,
+            marker_len=args.marker_len,
+            dictionary=args.dictionary,
+        )
+        print(f"board pattern written to {args.make_board}")
+        return 0
+    if args.images is None:
+        p.error("--images is required unless --make-board is given")
 
     K, err, n = calibrate_charuco(
         args.images,
