@@ -1,28 +1,43 @@
 #!/usr/bin/env python
-"""Benchmark: full VO pipeline throughput on the real chip vs CPU reference.
+"""Benchmark: full VO pipeline throughput on the real chip vs the
+reference pipeline on CPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Main metric — frames/sec of the COMPLETE per-frame pipeline (SIFT-style
-feature extraction + descriptor matching + RANSAC tracking + landmark map
-update) on KITTI-shaped images (1226x370, 4096 keypoint slots — the
-reference's KITTI SIFT operating point, reference: src/config/config.py:64),
-executed as chunked lax.scan programs so dispatch latency is amortized
-(core/runner.py).
+feature extraction + descriptor matching + RANSAC tracking + landmark
+map update) on KITTI-shaped images (1226x370, 4096 keypoint slots — the
+reference's KITTI SIFT operating point, reference: src/config/
+config.py:64), executed as chunked lax.scan programs so dispatch latency
+is amortized (core/runner.py).
 
-Baseline anchor — the reference's per-frame hot path rebuilt with the same
-libraries the reference calls (OpenCV SIFT detectAndCompute + BFMatcher
-kNN + Lowe ratio loop + solvePnPRansac; reference: src/modules/
-frontend.py:27-34,55,100-111, src/modules/vo.py:135-141) on this host's
-CPU over the same images.
+Baseline anchor — the reference's ACTUAL per-frame loop re-executed
+with the libraries the reference calls (cv2 SIFT detectAndCompute, BF
+kNN + Lowe ratio loop, findEssentialMat/recoverPose bootstrap, PnP
+tracking with speed-scale smoothing, triangulated keyframes, age-pruned
+map; eval/reference_cv2.py, faithful to reference src/modules/
+vo.py:49-299 + frontend.py:27-148) on the same textured frames, on this
+host's CPU. Both engines report tracking health (resets/keyframes/ATE)
+next to fps — a number measured while not actually tracking would be
+meaningless.
 
-Also reported: BA solve latency for a 20-keyframe / 5120-landmark window
-(the BASELINE.md secondary metric; the reference has no BA at all).
+Fixture — a ray-cast textured corridor world with exact ground-truth
+geometry (data/synthetic.py:render_textured_image): dense natural
+texture that both OpenCV SIFT and this engine's frontend genuinely
+track (no real KITTI data is mounted in this environment).
+
+Resilience (VERDICT r1): the device measurement runs in a retried
+subprocess that emits one JSON line per completed STAGE (extraction →
+full pipeline → BA → SuperPoint), so a mid-bench device fault still
+yields the stages that finished; the last good full result is kept in
+BENCH_LAST_GOOD.json (committed) and reported with an explicit STALE
+note when the chip is unreachable.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -30,18 +45,20 @@ import numpy as np
 N_SLOTS = 4096
 IMG_SIZE = (1226, 370)
 CHUNK = 8
+N_FRAMES = CHUNK * 4
+_FIXTURE = "/root/repo/.bench_fixture_textured.npz"
+_LAST_GOOD = "/root/repo/BENCH_LAST_GOOD.json"
 
 
 def _build_cfg():
-    """KITTI-shape operating point, gates tuned to the synthetic fixture.
+    """KITTI-shape operating point on the textured fixture.
 
-    The reference tunes its flow/reprojection gates per dataset
-    (reference: src/config/config.py:49-104 — 40 px kitti, 3 px parking);
-    the rendered synthetic world has gentler flows than real KITTI, so
-    the gates here are the scene-matched set under which the pipeline
-    GENUINELY tracks (verified: 0 resets, sim3 ATE ~0.6 m over the bench
-    sequence — reported in the output). Slot count stays at the
-    reference's KITTI SIFT operating point (4096 ~ nfeatures=4000).
+    Slot count is the reference's KITTI SIFT operating point
+    (nfeatures=4000, reference: src/config/config.py:64). Gates are
+    scene-matched (the corridor world has gentler flows than real
+    KITTI): contrast 0.02 finds ~2-4k keypoints/frame on this texture,
+    and the parallax gate keeps tiny-baseline triangulations out of
+    the map. Verified tracking-healthy (0 resets) on CPU and chip.
     """
     from visualodometry_tpu.config import VOConfig
 
@@ -49,27 +66,46 @@ def _build_cfg():
         extractor_type="sift",
         max_keypoints=N_SLOTS,
         sift_n_features=N_SLOTS,
-        sift_contrast_threshold=0.01,
+        sift_contrast_threshold=0.02,
         sift_num_octaves=3,
         min_median_flow=3.0,
         max_reproj_err=2.0,
         pnp_reproj_err=2.0,
         min_depth=1.0,
-        # robustness pair for the ambiguous-dot fixture: the parallax
-        # gate keeps near-unconstrained tiny-baseline triangulations out
-        # of the map, and the laxer ratio roughly doubles the usable
-        # match pool (RANSAC absorbs the extra outliers). Together they
-        # eliminate the late-sequence tracked-count decay (measured on
-        # seeds 0/7/11: stable 50-110 inliers through frame 48).
         min_parallax_deg=0.35,
-        lowe_ratio=0.92,
+        lowe_ratio=0.8,
         essential_hypotheses=256,
         pnp_hypotheses=256,
         map_capacity=20480,
-        # fused Pallas kNN kernel (re-validated at this operating point:
-        # repeated runs stable and bit-deterministic, +12% pipeline fps
-        # over the XLA matcher)
+        # fused Pallas kNN kernel (validated at this operating point:
+        # repeated runs stable and bit-deterministic, +12% pipeline
+        # fps over the XLA matcher)
         matcher_backend="pallas",
+    )
+
+
+def _reference_cfg():
+    """The same operating point expressed for the cv2 reference loop.
+
+    Lowe ratio stays at the reference's hardcoded 0.75 (reference:
+    src/modules/frontend.py:104); global_scale is set to the true
+    per-frame speed so the monocular bootstrap comes up at GT scale
+    (the reference hardcodes 20.0 for KITTI the same way, reference:
+    src/config/config.py:12).
+    """
+    from visualodometry_tpu.config import VOConfig
+
+    return VOConfig(
+        extractor_type="sift",
+        max_keypoints=N_SLOTS,
+        sift_n_features=N_SLOTS,
+        sift_contrast_threshold=0.02,
+        min_median_flow=3.0,
+        max_reproj_err=2.0,
+        pnp_reproj_err=2.0,
+        min_depth=1.0,
+        lowe_ratio=0.75,
+        global_scale=1.2,
     )
 
 
@@ -87,66 +123,72 @@ def _build_superpoint_cfg():
     )
 
 
-def _build_images(n_frames: int, seed: int = 0):
-    from visualodometry_tpu.data.synthetic import make_scene, render_image
+def _load_fixture():
+    """Textured-corridor bench sequence (cached: ~7 s to ray-cast)."""
+    if os.path.exists(_FIXTURE):
+        d = np.load(_FIXTURE)
+        return d["u8"], d["gt"], d["K"]
+    from visualodometry_tpu.data.synthetic import (
+        make_scene,
+        render_textured_image,
+    )
 
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(7)
     scene = make_scene(
         rng,
-        num_frames=n_frames,
+        num_frames=N_FRAMES,
         speed=1.2,
         turn_rate=0.002,
-        num_landmarks=4000,
         image_size=IMG_SIZE,
-    )  # seed 7 below: verified tracking-healthy at this operating point
-    imgs = np.stack(
-        [render_image(scene, f, dot_sigma=2.0) for f in range(n_frames)]
     )
-    return scene, imgs
+    imgs = np.stack(
+        [render_textured_image(scene, f) for f in range(N_FRAMES)]
+    )
+    u8 = (np.clip(imgs, 0, 1) * 255 + 0.5).astype(np.uint8)
+    gt = scene.gt_positions
+    np.savez_compressed(_FIXTURE, u8=u8, gt=gt, K=scene.K)
+    return u8, gt, scene.K
 
 
-def bench_tpu_pipeline(scene, imgs, cfg) -> tuple[float, float, dict]:
-    """Returns (pipeline fps, host->device upload MB/s, health dict).
+def _emit(stage: str, **kv):
+    print(json.dumps({"stage": stage, **kv}), flush=True)
 
-    Health = tracking quality over the benched sequence itself (resets,
-    keyframes, sim3-aligned ATE vs the scene's ground truth): the fps is
-    only meaningful if the pipeline is genuinely tracking, not resetting
-    in a loop — an untracked run skips the PnP branch and would inflate
-    the number.
+
+def bench_tpu_pipeline(u8, gt, K, cfg) -> tuple[float, dict]:
+    """Returns (pipeline fps, health dict).
+
+    Health = tracking quality over the benched sequence itself
+    (resets, keyframes, sim3-aligned ATE vs ground truth): the fps is
+    only meaningful if the pipeline is genuinely tracking, not
+    resetting in a loop — an untracked run skips the PnP branch and
+    would inflate the number.
 
     The fps is the chip's steady-state rate over device-resident uint8
     frames: frames are pre-uploaded, then the timed region covers only
     the compiled extract+track programs, synced by an explicit scalar
     fetch (block_until_ready is unreliable through the tunnel). Upload
     is excluded because the attached chip sits behind a tunnel whose
-    bandwidth is both low and wildly variable (measured 5-70 MB/s across
+    bandwidth is low and wildly variable (measured 0.1-70 MB/s across
     minutes); on a real TPU host the 0.45 MB/frame uint8 upload rides
-    PCIe and is negligible. The observed tunnel bandwidth is measured
-    and reported alongside.
+    PCIe and is negligible.
     """
     import jax
     import jax.numpy as jnp
 
     from visualodometry_tpu.core import init_state
     from visualodometry_tpu.core.runner import make_chunked_pipeline_fn
+    from visualodometry_tpu.eval import ate_rmse
 
-    run = make_chunked_pipeline_fn(cfg, scene.K)
-    n_chunks = len(imgs) // CHUNK
+    run = make_chunked_pipeline_fn(cfg, K)
+    n_chunks = len(u8) // CHUNK
     state = init_state(
         cfg, desc_dim=256 if cfg.extractor_type == "superpoint" else 128
     )
 
-    imgs_u8 = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-
-    # pre-upload all chunks, timing the transfers (scalar-fetch synced)
-    t0 = time.perf_counter()
-    chunks = []
-    for i in range(n_chunks):
-        c = jnp.asarray(imgs_u8[i * CHUNK : (i + 1) * CHUNK])
-        chunks.append(c)
-    float(jnp.sum(chunks[-1][:, ::37, ::37]))  # force completion
-    up_dt = time.perf_counter() - t0
-    upload_mbps = imgs_u8.nbytes / 1e6 / up_dt
+    chunks = [
+        jnp.asarray(u8[i * CHUNK : (i + 1) * CHUNK]) for i in range(n_chunks)
+    ]
+    float(jnp.sum(chunks[-1][:, ::37, ::37]))  # force upload completion
 
     # warmup: compile + first chunk
     state, out0 = run(state, chunks[0])
@@ -161,65 +203,34 @@ def bench_tpu_pipeline(scene, imgs, cfg) -> tuple[float, float, dict]:
     dt = time.perf_counter() - t0
     fps = (n_chunks - 1) * CHUNK / dt
 
-    # tracking health (device->host fetches after the clock stopped)
-    from visualodometry_tpu.eval import ate_rmse
-
     est = np.concatenate([np.asarray(o.T_wc)[:, :3, 3] for o in outs])
     resets = int(sum(np.asarray(o.did_reset).sum() for o in outs))
     keyframes = int(sum(np.asarray(o.is_keyframe).sum() for o in outs))
-    ate = float(
-        ate_rmse(est[8:], scene.gt_positions[8 : len(est)], align="sim3")
-    )
-    health = {"resets": resets, "keyframes": keyframes, "ate_sim3_m": ate}
-    return fps, upload_mbps, health
+    ate = float(ate_rmse(est[8:], gt[8 : len(est)], align="sim3"))
+    return fps, {"resets": resets, "keyframes": keyframes, "ate_sim3_m": ate}
 
 
-def bench_reference_cpu(scene, imgs, n_frames: int = 6) -> float:
-    """Reference hot path: cv2 SIFT + BF kNN + ratio loop + PnP (host CPU)."""
-    import cv2
+def bench_extraction_fps(u8, cfg) -> float:
+    """Extraction-stage fps alone (first fallback if the full run dies)."""
+    import jax
+    import jax.numpy as jnp
 
-    K = scene.K.astype(np.float64)
-    sift = cv2.SIFT_create(
-        nfeatures=N_SLOTS, contrastThreshold=0.02, edgeThreshold=2.0,
-        sigma=1.6,
-    )
-    matcher = cv2.BFMatcher(cv2.NORM_L2, crossCheck=False)
-    rng = np.random.default_rng(1)
+    from visualodometry_tpu.frontend.sift import extract_sift
 
-    imgs8 = [(im * 255).astype(np.uint8) for im in imgs[: n_frames + 1]]
-    # prime detection for frame 0 outside the timed loop
-    kp_prev, des_prev = sift.detectAndCompute(imgs8[0], None)
-
+    ims = jnp.asarray(u8[:CHUNK])
+    vex = jax.jit(lambda b: jax.lax.map(lambda im: extract_sift(im, cfg), b))
+    out = vex(ims)
+    float(jnp.sum(out.kps))  # compile + settle
     t0 = time.perf_counter()
-    for i in range(1, n_frames + 1):
-        kp, des = sift.detectAndCompute(imgs8[i], None)
-        if des_prev is None or des is None or not len(des) or not len(des_prev):
-            kp_prev, des_prev = kp, des
-            continue
-        knn = matcher.knnMatch(des_prev, des, k=2)
-        good = []
-        for m_n in knn:
-            if len(m_n) == 2:
-                m, n = m_n
-                if m.distance < 0.75 * n.distance:
-                    good.append([m.queryIdx, m.trainIdx])
-        good = np.asarray(good, int)
-        take = min(len(good), 500)
-        if take >= 6:
-            pts2d = np.array([kp[j].pt for j in good[:take, 1]], np.float64)
-            pts3d = np.concatenate(
-                [pts2d * 0.02, rng.uniform(8, 50, (take, 1))], axis=1
-            )
-            cv2.solvePnPRansac(
-                pts3d, pts2d, K, None, reprojectionError=1.0
-            )
-        kp_prev, des_prev = kp, des
-    dt = time.perf_counter() - t0
-    return n_frames / dt
+    reps = 4
+    for _ in range(reps):
+        out = vex(ims)
+    float(jnp.sum(out.kps))
+    return reps * CHUNK / (time.perf_counter() - t0)
 
 
 def bench_ba_solve_ms() -> float:
-    """BA solve wall time: 20 keyframes x 5120 landmarks, 8 GN iterations."""
+    """BA solve wall time: 20 keyframes x 5120 landmarks, 8 GN iters."""
     import jax
     import jax.numpy as jnp
 
@@ -260,73 +271,100 @@ def bench_ba_solve_ms() -> float:
     return (time.perf_counter() - t0) / reps * 1e3
 
 
-_LAST_GOOD = "/root/repo/.bench_last_good.json"
-
-
 def _measure_tpu():
-    """Run the device measurements (called in a subprocess via --tpu-only:
-    a TPU worker crash then kills only the child, and the parent can
-    retry — the JAX backend is poisoned process-wide after such faults)."""
+    """Device measurements, one JSON line per completed stage (called in
+    a subprocess via --tpu-only: a TPU worker crash then kills only the
+    child and the parent keeps whatever stages finished — the JAX
+    backend is poisoned process-wide after such faults)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_bench")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    u8, gt, K = _load_fixture()
     cfg = _build_cfg()
-    scene, imgs = _build_images(n_frames=CHUNK * 4, seed=7)
-    fps_tpu, upload_mbps, health = bench_tpu_pipeline(scene, imgs, cfg)
+
+    fps_ex = bench_extraction_fps(u8, cfg)
+    _emit("extract", fps_extract=fps_ex)
+
+    fps_tpu, health = bench_tpu_pipeline(u8, gt, K, cfg)
+    _emit("full", fps_tpu=fps_tpu, **health)
+
     ba_ms = bench_ba_solve_ms()
+    _emit("ba", ba_ms=ba_ms)
+
     # learned frontend at the reference's SuperPoint operating point
     # (2048 keypoints, reference: src/config/config.py:15), bf16 backbone
     sp_cfg = _build_superpoint_cfg()
-    fps_sp, _, sp_health = bench_tpu_pipeline(scene, imgs, sp_cfg)
-    print(
-        json.dumps(
-            {
-                "fps_tpu": fps_tpu,
-                "ba_ms": ba_ms,
-                "upload_mbps": upload_mbps,
-                **health,
-                "fps_superpoint": fps_sp,
-                "superpoint_resets": sp_health["resets"],
-                "superpoint_ate_sim3_m": sp_health["ate_sim3_m"],
-            }
-        )
+    fps_sp, sp_health = bench_tpu_pipeline(u8, gt, K, sp_cfg)
+    _emit(
+        "superpoint",
+        fps_superpoint=fps_sp,
+        superpoint_resets=sp_health["resets"],
+        superpoint_ate_sim3_m=sp_health["ate_sim3_m"],
     )
 
 
-def main():
+def _run_child(timeout_s: float) -> dict:
+    """Run --tpu-only, return merged stage dict (possibly partial)."""
     import subprocess
     import sys
 
-    result = None
-    for attempt_timeout in (1800, 600):  # first run may need a cold compile
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--tpu-only"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        stdout = proc.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        stdout = (
+            e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        )
+    stages: dict = {}
+    for line in stdout.strip().splitlines():
         try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--tpu-only"],
-                capture_output=True,
-                text=True,
-                timeout=attempt_timeout,
-            )
-        except subprocess.TimeoutExpired:
-            continue  # hung device; try once more with a short fuse
-        for line in reversed(proc.stdout.strip().splitlines() or [""]):
-            try:
-                result = json.loads(line)
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict) and "stage" in d:
+            d.pop("stage")
+            stages.update(d)
+    return stages
+
+
+def main():
+    u8, gt, K = _load_fixture()
+
+    # device measurement: keep retrying while the tunnel flakes; each
+    # attempt salvages completed stages (first attempt may cold-compile).
+    # Adaptive: a tunnel that produced NOTHING is likely dead — stop
+    # after one short retry instead of burning the driver's budget; a
+    # partially-successful run earns more retries for the full result.
+    stages: dict = {}
+    got = _run_child(2400)
+    stages.update(got)
+    if "fps_tpu" not in stages:
+        retries = (1200, 900) if stages else (600,)
+        for attempt_timeout in retries:
+            got = _run_child(attempt_timeout)
+            stages = {**got, **stages}
+            if "fps_tpu" in stages:
                 break
-            except json.JSONDecodeError:
-                continue
-        if result is not None:
-            break
 
-    cfg = _build_cfg()
-    scene, imgs = _build_images(n_frames=CHUNK * 4, seed=7)
-    fps_ref = bench_reference_cpu(scene, imgs)
+    # CPU anchor: the reference's actual loop on the same frames
+    from visualodometry_tpu.eval import ate_rmse
+    from visualodometry_tpu.eval.reference_cv2 import run_reference_pipeline
 
-    if result is None:
-        # device unavailable: report the last successful measurement with
-        # an explicit staleness note rather than a fabricated number
+    ref_pos, ref_stats = run_reference_pipeline(u8, K, _reference_cfg())
+    ref_ate = float(ate_rmse(ref_pos[8:], gt[8:], align="sim3"))
+
+    if "fps_tpu" not in stages:
+        # no full-pipeline number this run: fall back to the committed
+        # last-good measurement (explicitly marked stale), plus any
+        # stages that did finish; never fabricate
         try:
             with open(_LAST_GOOD) as f:
                 out = json.load(f)
@@ -334,60 +372,66 @@ def main():
                 out.get("note", "") + " [STALE: TPU unavailable this run; "
                 "value reproduced from the last successful measurement]"
             )
-            print(json.dumps(out))
-            return
         except FileNotFoundError:
-            print(
-                json.dumps(
-                    {
-                        "metric": "kitti_equiv_full_pipeline_fps_per_chip",
-                        "value": 0.0,
-                        "unit": "frames/s",
-                        "vs_baseline": 0.0,
-                        "note": "TPU unavailable; no prior measurement",
-                    }
-                )
-            )
-            return
+            out = {
+                "metric": "textured_seq_full_pipeline_fps_per_chip",
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "note": "TPU unavailable; no prior measurement",
+            }
+        out["baseline_fps_reference_pipeline"] = round(ref_stats["fps"], 2)
+        out["baseline_ate_sim3_m"] = round(ref_ate, 3)
+        if "fps_extract" in stages:
+            out["fps_extract_this_run"] = round(stages["fps_extract"], 2)
+        print(json.dumps(out))
+        return
 
-    fps_tpu = result["fps_tpu"]
-    ba_ms = result["ba_ms"]
+    fps_tpu = stages["fps_tpu"]
     out = {
-        "metric": "kitti_equiv_full_pipeline_fps_per_chip",
+        "metric": "textured_seq_full_pipeline_fps_per_chip",
         "value": round(fps_tpu, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps_tpu / fps_ref, 2),
-        "baseline_fps_cpu_reference_path": round(fps_ref, 2),
-        "ba_solve_ms_20kf_5120lm": round(ba_ms, 2),
-        "tunnel_upload_mbps": round(result.get("upload_mbps", 0.0), 1),
-        "tracking_resets": result.get("resets"),
-        "tracking_keyframes": result.get("keyframes"),
+        "vs_baseline": round(fps_tpu / ref_stats["fps"], 2),
+        "baseline_fps_reference_pipeline": round(ref_stats["fps"], 2),
+        "baseline_ate_sim3_m": round(ref_ate, 3),
+        "baseline_resets": ref_stats["resets"],
+        "tracking_resets": stages.get("resets"),
+        "tracking_keyframes": stages.get("keyframes"),
         "tracking_ate_sim3_m": (
-            round(result["ate_sim3_m"], 3) if "ate_sim3_m" in result else None
+            round(stages["ate_sim3_m"], 3) if "ate_sim3_m" in stages else None
+        ),
+        "fps_extract": (
+            round(stages["fps_extract"], 2) if "fps_extract" in stages else None
+        ),
+        "ba_solve_ms_20kf_5120lm": (
+            round(stages["ba_ms"], 2) if "ba_ms" in stages else None
         ),
         "fps_superpoint_2048kps": (
-            round(result["fps_superpoint"], 2)
-            if "fps_superpoint" in result
+            round(stages["fps_superpoint"], 2)
+            if "fps_superpoint" in stages
             else None
         ),
         "superpoint_ate_sim3_m": (
-            round(result["superpoint_ate_sim3_m"], 3)
-            if "superpoint_ate_sim3_m" in result
+            round(stages["superpoint_ate_sim3_m"], 3)
+            if "superpoint_ate_sim3_m" in stages
             else None
         ),
         "note": (
             "full per-frame pipeline (SIFT extract + match + RANSAC "
             f"track + map) at 1226x370/{N_SLOTS} kps, chunked scan on "
-            "one chip over device-resident uint8 frames, vs reference "
-            "OpenCV SIFT+match+PnP path on host CPU over the same "
-            "images. Frame upload (0.45 MB/frame uint8) is excluded: "
-            "the attached chip is behind a tunnel with low, unstable "
-            "bandwidth (reported as tunnel_upload_mbps); on a real TPU "
-            "host it rides PCIe and is negligible."
+            "one chip over device-resident uint8 frames, vs the "
+            "reference's actual loop (cv2 SIFT + BF kNN + E-mat/PnP + "
+            "speed smoothing + keyframe triangulation) on host CPU "
+            "over the same textured-corridor frames. Frame upload "
+            "(0.45 MB/frame uint8) is excluded: the attached chip is "
+            "behind a tunnel with low, unstable bandwidth; on a real "
+            "TPU host it rides PCIe and is negligible."
         ),
     }
     with open(_LAST_GOOD, "w") as f:
-        json.dump(out, f)
+        json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
 
 

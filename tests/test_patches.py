@@ -1,4 +1,10 @@
-"""extract_patches (Pallas DMA kernel) vs a numpy slicing oracle."""
+"""extract_patches (Pallas DMA kernel) vs a numpy slicing oracle.
+
+The kernel contract (ops/patches.py): packed int32 field (L, H, W),
+8-aligned row origins (the caller aligns down and uses a taller patch),
+arbitrary column origins (the kernel over-fetches a 128-aligned lane
+window and rotates it into place).
+"""
 
 from __future__ import annotations
 
@@ -9,47 +15,46 @@ import pytest
 from visualodometry_tpu.ops.patches import extract_patches
 
 
+def _oracle(field, lvl, y0, x0, Py, Px):
+    K = lvl.shape[0]
+    out = np.zeros((K, Py, Px), field.dtype)
+    for k in range(K):
+        out[k] = field[lvl[k], y0[k] : y0[k] + Py, x0[k] : x0[k] + Px]
+    return out
+
+
 @pytest.mark.unit
 class TestExtractPatches:
-    def _oracle(self, field, lvl, y0, x0, P):
-        K = lvl.shape[0]
-        out = np.zeros((K, field.shape[1], P, P), field.dtype)
-        for k in range(K):
-            out[k] = field[lvl[k], :, y0[k] : y0[k] + P, x0[k] : x0[k] + P]
-        return out
-
-    @pytest.mark.parametrize("dtype", [np.float32, np.dtype("bfloat16")])
-    def test_matches_oracle(self, dtype):
+    def test_matches_oracle(self):
         rng = np.random.default_rng(0)
-        L, C, H, W = 3, 2, 96, 200
-        P, K = 32, 16
-        field = rng.standard_normal((L, C, H, W)).astype(np.float32)
-        if dtype != np.float32:
-            field = jnp.asarray(field).astype(jnp.bfloat16)
-            field_np = np.asarray(field.astype(jnp.float32))
-        else:
-            field_np = field
+        L, H, W = 3, 96, 384
+        Py, Px, K = 40, 32, 16
+        field = rng.integers(-(2**31), 2**31, (L, H, W)).astype(np.int32)
         lvl = rng.integers(0, L, K).astype(np.int32)
-        y0 = rng.integers(0, H - P + 1, K).astype(np.int32)
-        x0 = rng.integers(0, W - P + 1, K).astype(np.int32)
+        y0 = (rng.integers(0, (H - Py) // 8 + 1, K) * 8).astype(np.int32)
+        x0 = rng.integers(0, W - Px + 1, K).astype(np.int32)
         got = extract_patches(
-            jnp.asarray(field), lvl, y0, x0, patch=P, group=8, interpret=True
+            jnp.asarray(field), lvl, y0, x0,
+            patch_y=Py, patch_x=Px, group=8, interpret=True,
         )
-        want = self._oracle(field_np, lvl, y0, x0, P)
         np.testing.assert_array_equal(
-            np.asarray(got.astype(jnp.float32)), want
+            np.asarray(got), _oracle(field, lvl, y0, x0, Py, Px)
         )
 
     def test_border_origins(self):
+        """Extremes: x0 = 0 and x0 = W - Px (wide-window clamp path)."""
         rng = np.random.default_rng(1)
-        L, C, H, W = 2, 2, 64, 64
-        P, K = 64, 8
-        field = rng.standard_normal((L, C, H, W)).astype(np.float32)
+        L, H, W = 2, 72, 256
+        Py, Px, K = 72, 64, 8
+        field = rng.integers(-(2**31), 2**31, (L, H, W)).astype(np.int32)
         lvl = np.zeros(K, np.int32)
-        y0 = np.zeros(K, np.int32)  # only valid origin when H == P
-        x0 = np.zeros(K, np.int32)
+        y0 = np.zeros(K, np.int32)  # only valid origin when H == Py
+        x0 = np.array([0, W - Px, 1, W - Px - 1, 64, 127, 128, 129],
+                      np.int32)
         got = extract_patches(
-            jnp.asarray(field), lvl, y0, x0, patch=P, group=8, interpret=True
+            jnp.asarray(field), lvl, y0, x0,
+            patch_y=Py, patch_x=Px, group=8, interpret=True,
         )
-        want = self._oracle(field, lvl, y0, x0, P)
-        np.testing.assert_array_equal(np.asarray(got), want)
+        np.testing.assert_array_equal(
+            np.asarray(got), _oracle(field, lvl, y0, x0, Py, Px)
+        )

@@ -83,13 +83,17 @@ def push_frame(
 
 
 def make_ba_chunk_fn(cfg: VOConfig, K):
-    """(state, window, feats_stack (C,...), outs (C,...)) -> (state, window).
+    """(state, window, feats_stack (C,...), outs (C,...))
+    -> (state, window, delta (4, 4)).
 
     Pushes the chunk's keyframes into the window, then — if the window is
     full — refines it with `ba_iters` GN iterations and writes landmarks
     and the keyframe-pose correction back into the live state. One XLA
     program; the BA branch is a lax.cond so chunks without a full window
-    skip the solve.
+    skip the solve. `delta` is the rigid pose correction of the newest
+    window keyframe (identity when BA didn't run or pose correction is
+    off) — the chunk runner uses it to retro-correct the chunk's emitted
+    poses from that keyframe on (core/runner.py).
     """
     Kj = jnp.asarray(K, jnp.float32)
     P = cfg.ba_window
@@ -117,8 +121,10 @@ def make_ba_chunk_fn(cfg: VOConfig, K):
             ),
         )
 
+        eye = jnp.eye(4, dtype=jnp.float32)
+
         def do_ba(args):
-            state, win = args
+            state, win, _ = args
             prob, chosen = assemble_window(
                 win.T_wc,
                 win.kps,
@@ -131,18 +137,36 @@ def make_ba_chunk_fn(cfg: VOConfig, K):
             solved = ba_solve(
                 prob, iters=cfg.ba_iters, damping=cfg.ba_damping
             )
-            # Structure-only write-back: refined landmarks feed subsequent
-            # PnP tracking (measured: raises tracked-inlier counts), while
-            # poses keep coming from the tracker — writing refined poses
-            # back mid-sequence injects jumps at chunk boundaries that the
-            # per-frame outputs (already emitted) can't reflect, kinking
-            # the trajectory. Pose smoothing over the full trajectory is
-            # the pose-graph layer's job (ba/pose_graph.py).
+            # Refined landmarks feed subsequent PnP tracking (measured:
+            # raises tracked-inlier counts).
             new_map = write_back(state.map, chosen, solved.X)
-            return state._replace(map=new_map), win
+            state = state._replace(map=new_map)
+            if not cfg.ba_pose_correction:
+                # structure-only mode: poses keep coming from the tracker
+                # (host-side pose smoothing is ba/pose_graph.py's job)
+                return state, win, eye
+
+            # Pose correction (VERDICT r1 item 8): the solver holds the
+            # two OLDEST window poses fixed (gauge + monocular scale,
+            # ba/solver.py:18-20), so the newest keyframe's refined pose
+            # is a genuine correction relative to the window's anchor.
+            # Transport the live tracking state by the rigid delta
+            # delta = T_wc_refined @ T_wc_tracked^-1 of the newest
+            # keyframe, and store the refined poses back into the window
+            # so the next solve warm-starts from them.
+            T_wc_ref = jax.vmap(se3_inverse)(solved.T_cw)  # (P, 4, 4)
+            delta = T_wc_ref[-1] @ se3_inverse(win.T_wc[-1])
+            state = state._replace(
+                T_wc=delta @ state.T_wc,
+                last_pos=delta[:3, :3] @ state.last_pos + delta[:3, 3],
+                keyframe=state.keyframe._replace(
+                    T_wc=delta @ state.keyframe.T_wc
+                ),
+            )
+            return state, win._replace(T_wc=T_wc_ref), delta
 
         return lax.cond(
-            win2.count >= P, do_ba, lambda a: a, (state, win2)
+            win2.count >= P, do_ba, lambda a: a, (state, win2, eye)
         )
 
     return ba_chunk

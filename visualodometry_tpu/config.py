@@ -105,6 +105,15 @@ class VOConfig:
     ba_max_landmarks: int = 512  # landmark slots per window
     ba_iters: int = 8
     ba_damping: float = 1e-3
+    # propagate the newest window keyframe's BA pose correction into the
+    # live tracking pose between chunks (ba/inloop.py). Off by default:
+    # on short windows over deep scenes the monocular scale direction is
+    # weakly observable and the solve slides metres along it while
+    # reducing reprojection cost (measured: window cost 0.37 -> 0.05 px^2
+    # but newest pose moved ~0.9 m and fixture ATE doubled), so the
+    # default ships the reference-grade structure-only write-back and
+    # pose propagation is opt-in for better-conditioned windows.
+    ba_pose_correction: bool = False
 
     @property
     def padded_keypoints(self) -> int:

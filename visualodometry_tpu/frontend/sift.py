@@ -300,15 +300,27 @@ def _pack_gradients(gauss: jnp.ndarray):
 
 
 def _pack_gradients_planar(gauss: jnp.ndarray):
-    """Same gradient field as _pack_gradients, laid out (Lvl, 2, H, W).
+    """Same gradient field as _pack_gradients, packed (Lvl, H, W) int32.
 
-    This is the layout the patch-DMA path wants: one contiguous
-    (2, P, P) window per keypoint (ops/patches.py). Values are
-    identical to the row-packed field, so the two sampling paths read
-    the same bf16 numbers.
+    This is the layout the patch-DMA path wants: the (gx, gy) bf16
+    pair bitcast into ONE 32-bit word per pixel, so each keypoint is a
+    single contiguous (Py, Px) window (ops/patches.py) — and the
+    kernel's lane-rotate (32-bit only on this hardware) can shift
+    unaligned windows into place. Values are bit-identical to the
+    row-packed field after the matching bitcast back (_unpack_patches),
+    so the two sampling paths read the same bf16 numbers.
     """
     gx, gy = _gradients(gauss)
-    return jnp.stack([gx, gy], axis=1).astype(jnp.bfloat16)
+    pair = jnp.stack(
+        [gx.astype(jnp.bfloat16), gy.astype(jnp.bfloat16)], axis=-1
+    )  # (L, H, W, 2)
+    return jax.lax.bitcast_convert_type(pair, jnp.int32)
+
+
+def _unpack_patches(patches_i32: jnp.ndarray) -> jnp.ndarray:
+    """(K, Py, Px) int32 -> (K, 2, Py, Px) bf16 gradient patches."""
+    pair = jax.lax.bitcast_convert_type(patches_i32, jnp.bfloat16)
+    return pair.transpose(0, 3, 1, 2)
 
 
 def _patch_margin(cfg: VOConfig) -> int:
@@ -334,6 +346,14 @@ def _patch_origins(kps: OctaveKeypoints, H: int, W: int, P: int):
     tap coordinates to the patch reproduces the gather path's clip to
     the image bit-for-bit (taps never overrun the opposite side because
     tap offsets are bounded by _patch_margin <= P//2 - 1).
+
+    The row origin is additionally aligned DOWN to a multiple of 8 and
+    the window made 8 rows taller (P_y = P + 8): the patch DMA's dynamic
+    row offset must sit on the (8, 128) tile grid (ops/patches.py). The
+    aligned window still covers every tap (it only ever grows upward),
+    and its edges still coincide with the image edges exactly when
+    clamping bit (top: 0 is aligned; bottom: origin clamps to H - P - 8
+    so the window ends at H), preserving the bit-exact clip semantics.
     """
     x0 = jnp.clip(
         jnp.floor(kps.xy[:, 0]).astype(jnp.int32) - (P // 2 - 1), 0, W - P
@@ -341,35 +361,38 @@ def _patch_origins(kps: OctaveKeypoints, H: int, W: int, P: int):
     y0 = jnp.clip(
         jnp.floor(kps.xy[:, 1]).astype(jnp.int32) - (P // 2 - 1), 0, H - P
     )
+    y0 = jnp.clip(y0 & ~7, 0, H - (P + 8))
     return y0, x0
 
 
 def _make_patch_sampler(patches: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray):
     """Nearest-tap (gx, gy) sampler over per-keypoint gradient patches.
 
-    patches: (K, 2, P, P) bf16 from ops/patches.extract_patches. The
-    per-tap selection is TWO one-hot contractions instead of a gather:
-    T1 = Hy @ patch collapses the row choice into a well-shaped
-    (M, P) @ (P, 2P) MXU matmul per keypoint, and the column choice is
-    an elementwise mask-reduce. One-hot selection of bf16 values is
+    patches: (K, 2, Py, Px) bf16 from ops/patches.extract_patches
+    (Py = Px + 8: the row origin is tile-aligned, see _patch_origins).
+    The per-tap selection is TWO one-hot contractions instead of a
+    gather: T1 = Hy @ patch collapses the row choice into a well-shaped
+    (M, Py) @ (Py, 2Px) MXU matmul per keypoint, and the column choice
+    is an elementwise mask-reduce. One-hot selection of bf16 values is
     exact, so this returns bit-identical samples to the flat-gather
     path (_nearest_grad_pair) — verified in tests/test_sift_patches.py.
     """
-    K, C, P, _ = patches.shape
-    # (K, y, c*x) so the row contraction leaves lanes = C*P
-    patcht = patches.transpose(0, 2, 1, 3).reshape(K, P, C * P)
-    iota = jnp.arange(P, dtype=jnp.int32)
+    K, C, Py, Px = patches.shape
+    # (K, y, c*x) so the row contraction leaves lanes = C*Px
+    patcht = patches.transpose(0, 2, 1, 3).reshape(K, Py, C * Px)
+    iota_y = jnp.arange(Py, dtype=jnp.int32)
+    iota_x = jnp.arange(Px, dtype=jnp.int32)
 
     def sample(xs: jnp.ndarray, ys: jnp.ndarray):
         px = xs - x0[:, None].astype(xs.dtype)
         py = ys - y0[:, None].astype(ys.dtype)
-        xi = jnp.clip(jnp.round(px), 0.0, P - 1.0).astype(jnp.int32)
-        yi = jnp.clip(jnp.round(py), 0.0, P - 1.0).astype(jnp.int32)
-        hy = (yi[..., None] == iota).astype(patches.dtype)  # (K, M, P)
+        xi = jnp.clip(jnp.round(px), 0.0, Px - 1.0).astype(jnp.int32)
+        yi = jnp.clip(jnp.round(py), 0.0, Py - 1.0).astype(jnp.int32)
+        hy = (yi[..., None] == iota_y).astype(patches.dtype)  # (K, M, Py)
         t1 = jnp.einsum(
             "kmy,kyq->kmq", hy, patcht, preferred_element_type=jnp.float32
-        ).reshape(K, -1, C, P)  # (K, M, 2, P)
-        hx = (xi[..., None] == iota).astype(jnp.float32)  # (K, M, P)
+        ).reshape(K, -1, C, Px)  # (K, M, 2, Px)
+        hx = (xi[..., None] == iota_x).astype(jnp.float32)  # (K, M, Px)
         g = jnp.einsum("kmcp,kmp->kmc", t1, hx)
         return g[..., 0], g[..., 1]
 
@@ -585,18 +608,23 @@ def extract_sift(img: jnp.ndarray, cfg: VOConfig) -> Features:
     for o in range(cfg.sift_num_octaves):
         kps = detect_octave(dogs[o], cfg, budgets[o])
         _, H_o, W_o = gauss[o].shape
-        fits = H_o >= P and W_o >= P and budgets[o] % 8 == 0
+        wide = ((P + 127) // 128) * 128 + 128  # kernel's DMA window
+        fits = H_o >= P + 8 and W_o >= wide and budgets[o] % 8 == 0
         if want_patch and fits:
-            # patch-DMA sampling: one (2, P, P) window per keypoint
-            # (ops/patches.py) feeds both stages; bit-identical taps to
-            # the gather path (see _make_patch_sampler)
+            # patch-DMA sampling: one packed (P+8, P) window per
+            # keypoint (ops/patches.py) feeds both stages;
+            # bit-identical taps to the gather path (see
+            # _make_patch_sampler)
             from visualodometry_tpu.ops.patches import extract_patches
 
             field = _pack_gradients_planar(gauss[o])
             y0, x0 = _patch_origins(kps, H_o, W_o, P)
             lvl = jnp.clip(kps.scale_idx, 0, field.shape[0] - 1)
-            patches = extract_patches(
-                field, lvl, y0, x0, patch=P, interpret=not on_tpu
+            patches = _unpack_patches(
+                extract_patches(
+                    field, lvl, y0, x0, patch_y=P + 8, patch_x=P,
+                    interpret=not on_tpu,
+                )
             )
             sampler = _make_patch_sampler(patches, y0, x0)
             theta = compute_orientations(gauss[o], kps, sampler=sampler)
