@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Train SuperPoint on textured homography pairs and save the weights.
 
-Usage: python scripts/train_superpoint_textured_run.py [steps] [out.pkl]
-Starts from the bundled blob-pretrained weights when present (curriculum:
-blobs -> texture), trains with the warp-strength curriculum, saves to
+Usage: python scripts/train_superpoint_textured_run.py \
+    [steps] [out.pkl] [HxW] [batch]
+Warm-starts from the best bundled checkpoint (textured > blobs — a
+blobs -> texture -> higher-resolution curriculum across invocations),
+trains with the warp-strength curriculum, saves to
 models/weights/superpoint_textured.pkl, and prints the loss trace.
+The fully-convolutional backbone transfers across sizes, but texture
+statistics are resolution-dependent — finishing at a training size
+nearer the deployment size measurably helps (see RESULTS.md).
 """
 
 import os
@@ -20,6 +25,12 @@ def main():
         if len(sys.argv) > 2
         else "/root/repo/visualodometry_tpu/models/weights/superpoint_textured.pkl"
     )
+    hw = (120, 160)
+    if len(sys.argv) > 3:
+        h, w = sys.argv[3].split("x")
+        hw = (int(h), int(w))
+    batch = int(sys.argv[4]) if len(sys.argv) > 4 else 24
+    corridor = "--corridor" in sys.argv  # final stage: deployment texture
 
     import jax
 
@@ -36,13 +47,18 @@ def main():
     )
 
     init = None
-    blob = "/root/repo/visualodometry_tpu/models/weights/superpoint_synthetic.pkl"
-    if os.path.exists(blob):
-        init = load_params(blob)
-        print(f"warm-starting from {blob}", flush=True)
+    weights_dir = "/root/repo/visualodometry_tpu/models/weights"
+    # curriculum: continue from the best prior stage (textured > blobs)
+    for name in ("superpoint_textured.pkl", "superpoint_synthetic.pkl"):
+        cand = os.path.join(weights_dir, name)
+        if os.path.exists(cand):
+            init = load_params(cand)
+            print(f"warm-starting from {cand}", flush=True)
+            break
 
     model, params, log = pretrain_textured(
-        steps=steps, batch=24, hw=(120, 160), init_params=init
+        steps=steps, batch=batch, hw=hw, init_params=init,
+        corridor=corridor,
     )
     for i, loss, det, desc in log:
         print(f"step {i}: loss {loss:.3f} (det {det:.3f} desc {desc:.3f})",

@@ -52,7 +52,11 @@ class VOConfig:
     mutual_check: bool = False  # reference BFMatcher uses crossCheck=False
     matcher_backend: str = "auto"  # "auto" | "jnp" | "pallas"
     matcher_type: str = "ratio"  # "ratio" (kNN+Lowe) | "attention"
-    attention_depth: int = 6  # attention-matcher blocks (LightGlue uses 9)
+    # attention-matcher blocks (LightGlue uses 9). Default matches the
+    # bundled trained checkpoints (depth 4, trained on real SIFT
+    # descriptors — models/matcher_data.py); other depths fall back to
+    # identity-residual init (= dual-softmax mutual-NN matching).
+    attention_depth: int = 4
     image_size: tuple = (1226, 370)  # (W, H) for kp normalization
 
     # -- initialization & keyframes (reference: src/config/config.py:25-28) -

@@ -84,18 +84,25 @@ def make_step_fn(
         attention_model = AttentionMatcher(depth=cfg.attention_depth)
         if matcher_params is None:
             d = 256 if cfg.extractor_type == "superpoint" else 128
-            # bundled synthetically-trained weights when they fit the
-            # architecture (depth 4, 128-D); else identity-residual init
-            # (== dual-softmax mutual-NN matching)
+            # bundled trained weights when they fit the architecture
+            # (depth 4, 128-D) — the real-SIFT-descriptor recipe
+            # (models/matcher_data.py) supersedes the synthetic one;
+            # else identity-residual init (== dual-softmax mutual-NN
+            # matching)
             from pathlib import Path
 
-            bundled = (
-                Path(__file__).resolve().parent.parent
-                / "models"
-                / "weights"
-                / "attention_matcher_synthetic.pkl"
+            weights_dir = (
+                Path(__file__).resolve().parent.parent / "models" / "weights"
             )
-            if cfg.attention_depth == 4 and d == 128 and bundled.exists():
+            bundled = None
+            for name in (
+                "attention_matcher_sift.pkl",
+                "attention_matcher_synthetic.pkl",
+            ):
+                if (weights_dir / name).exists():
+                    bundled = weights_dir / name
+                    break
+            if cfg.attention_depth == 4 and d == 128 and bundled is not None:
                 import pickle
 
                 with open(bundled, "rb") as f:

@@ -33,33 +33,48 @@ def _pad_to_multiple(img: jnp.ndarray, m: int = 8) -> jnp.ndarray:
 
 
 def _default_weights_path():
+    """Best bundled checkpoint: textured-trained > blob-pretrained.
+
+    The textured recipe (models/train_superpoint_textured.py) supersedes
+    the blob one — the blob-trained CNN measured repeatability 0.30 /
+    precision 0.34 on the textured fixture and lost tracking, while the
+    textured-trained one is the working learned frontend.
+    """
     from pathlib import Path
 
-    return (
-        Path(__file__).resolve().parent.parent
-        / "models"
-        / "weights"
-        / "superpoint_synthetic.pkl"
-    )
+    weights = Path(__file__).resolve().parent.parent / "models" / "weights"
+    for name in ("superpoint_textured.pkl", "superpoint_synthetic.pkl"):
+        if (weights / name).exists():
+            return weights / name
+    return None
 
 
 def make_superpoint_extract_fn(
-    cfg: VOConfig, checkpoint_path: str | None = None, seed: int = 0
+    cfg: VOConfig,
+    checkpoint_path: str | None = None,
+    seed: int = 0,
+    weights_path: str | None = None,
 ):
     """Returns the PURE extract(img (H, W)) -> Features function.
 
     Accepts float in [0, 1] or uint8 (normalized on device). Not jitted —
     compose under jit/vmap/lax.map (the chunk runner maps it over a
-    frame batch). Weight resolution order: explicit torch checkpoint
-    (converted) > bundled synthetic-pretrained weights
-    (models/train_superpoint.py, MagicPoint-style) > random init.
+    frame batch). Weight resolution order: explicit in-repo pickle
+    (`weights_path`) > explicit torch checkpoint (`checkpoint_path`,
+    converted via models/convert.py) > bundled trained weights
+    (textured-trained preferred, see _default_weights_path) > random
+    init.
     """
     model, params = init_superpoint(jax.random.key(seed))
-    if checkpoint_path is not None:
+    if weights_path is not None:
+        from visualodometry_tpu.models.train_superpoint import load_params
+
+        params = load_params(weights_path)
+    elif checkpoint_path is not None:
         from visualodometry_tpu.models.convert import load_torch_superpoint
 
         params = load_torch_superpoint(checkpoint_path, params)
-    elif _default_weights_path().exists():
+    elif _default_weights_path() is not None:
         from visualodometry_tpu.models.train_superpoint import load_params
 
         params = load_params(_default_weights_path())

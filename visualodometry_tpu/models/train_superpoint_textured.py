@@ -283,6 +283,95 @@ def make_train_step_h(
     return step
 
 
+def corridor_crop_pool(
+    rng: np.random.Generator,
+    n_scenes: int = 6,
+    frames_per_scene: int = 4,
+    render_size: tuple[int, int] = (640, 360),
+) -> list[np.ndarray]:
+    """Pre-render a pool of textured-corridor images (the deployment
+    distribution: data/synthetic.render_textured_image) for crop-based
+    homography training — the final curriculum stage after the abstract
+    value-noise/polygon worlds."""
+    from visualodometry_tpu.data.synthetic import (
+        make_scene,
+        render_textured_image,
+    )
+
+    pool = []
+    for s in range(n_scenes):
+        scene = make_scene(
+            rng,
+            num_frames=frames_per_scene,
+            speed=1.2,
+            turn_rate=rng.uniform(-0.004, 0.004),
+            image_size=render_size,
+        )
+        for f in range(frames_per_scene):
+            pool.append(render_textured_image(scene, f).astype(np.float32))
+    return pool
+
+
+def corridor_batch(
+    rng: np.random.Generator,
+    pool: list[np.ndarray],
+    batch: int = 16,
+    hw: tuple[int, int] = (240, 320),
+    strength: float = 0.10,
+) -> TrainBatchH:
+    """Homography pair batch whose view-0 images are random crops of
+    pre-rendered corridor frames (true deployment texture), labels and
+    correspondence built exactly like `textured_batch`."""
+    H, W = hw
+    hc, wc = H // 8, W // 8
+    img0 = np.zeros((batch, H, W), np.float32)
+    img1 = np.zeros((batch, H, W), np.float32)
+    labels0 = np.zeros((batch, hc, wc), np.int32)
+    labels1 = np.zeros((batch, hc, wc), np.int32)
+    cell_tgt = np.zeros((batch, hc, wc, 2), np.int32)
+    cell_valid = np.zeros((batch, hc, wc), bool)
+    ci = (np.arange(hc) * 8 + 3.5)[:, None]
+    cj = (np.arange(wc) * 8 + 3.5)[None, :]
+    for b in range(batch):
+        src = pool[rng.integers(0, len(pool))]
+        sh, sw = src.shape
+        y = rng.integers(0, max(sh - H, 1))
+        x = rng.integers(0, max(sw - W, 1))
+        base = src[y : y + H, x : x + W].copy()
+        Hmat = _random_homography(rng, H, W, strength)
+        view1 = _warp(base, Hmat)
+
+        def jitter(im):
+            g = rng.uniform(0.8, 1.25)
+            gain = rng.uniform(0.8, 1.15)
+            off = rng.uniform(-0.06, 0.06)
+            im = np.clip(gain * np.power(np.clip(im, 0, 1), g) + off, 0, 1)
+            return np.clip(
+                im + rng.normal(0, 0.015, im.shape), 0, 1
+            ).astype(np.float32)
+
+        img0[b] = jitter(base)
+        img1[b] = jitter(view1)
+        labels0[b] = _harris_cell_labels(img0[b])
+        labels1[b] = _harris_cell_labels(img1[b])
+        px = Hmat[0, 0] * cj + Hmat[0, 1] * ci + Hmat[0, 2]
+        py = Hmat[1, 0] * cj + Hmat[1, 1] * ci + Hmat[1, 2]
+        pw = Hmat[2, 0] * cj + Hmat[2, 1] * ci + Hmat[2, 2]
+        u, v = px / pw, py / pw
+        tj, ti = (u // 8).astype(np.int32), (v // 8).astype(np.int32)
+        cell_valid[b] = (ti >= 0) & (ti < hc) & (tj >= 0) & (tj < wc)
+        cell_tgt[b, ..., 0] = np.clip(ti, 0, hc - 1)
+        cell_tgt[b, ..., 1] = np.clip(tj, 0, wc - 1)
+    return TrainBatchH(
+        img0=jnp.asarray(img0),
+        img1=jnp.asarray(img1),
+        labels0=jnp.asarray(labels0),
+        labels1=jnp.asarray(labels1),
+        cell_tgt=jnp.asarray(cell_tgt),
+        cell_valid=jnp.asarray(cell_valid),
+    )
+
+
 def pretrain_textured(
     steps: int = 2000,
     batch: int = 24,
@@ -292,11 +381,14 @@ def pretrain_textured(
     init_params=None,
     log_every: int = 100,
     curriculum=((0.04, 0.3), (0.12, 1.0)),
+    corridor: bool = False,
 ):
     """Train with a warp-strength curriculum; returns (model, params, log).
 
     `curriculum` is a list of (strength, fraction-of-steps-boundary):
-    easy near-affine warps first, full perspective after.
+    easy near-affine warps first, full perspective after. With
+    `corridor=True` the images are crops of pre-rendered corridor
+    frames (corridor_crop_pool) instead of abstract value-noise worlds.
     """
     import threading
     import queue
@@ -319,12 +411,22 @@ def pretrain_textured(
                 return s
         return curriculum[-1][0]
 
+    pool = corridor_crop_pool(rng) if corridor else None
+
     # host-side batch generation overlapped with device steps
     q: queue.Queue = queue.Queue(maxsize=4)
 
     def producer():
         for i in range(steps):
-            q.put(textured_batch(rng, batch=batch, hw=hw, strength=strength_at(i)))
+            if corridor:
+                b = corridor_batch(
+                    rng, pool, batch=batch, hw=hw, strength=strength_at(i)
+                )
+            else:
+                b = textured_batch(
+                    rng, batch=batch, hw=hw, strength=strength_at(i)
+                )
+            q.put(b)
         q.put(None)
 
     t = threading.Thread(target=producer, daemon=True)
