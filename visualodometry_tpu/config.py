@@ -28,6 +28,11 @@ class VOConfig:
 
     # -- extractor selection ------------------------------------------------
     extractor_type: str = "superpoint"  # "superpoint" or "sift"
+    # detection gate on the NMS'd probability heatmap (selection is
+    # top-k; this only sets slot validity). The reference's SuperPoint
+    # runs at 0.0005 (LightGlue pipeline default); 0.005 starved the
+    # corridor-trained detector to ~90 keypoints/frame at 1226x370.
+    superpoint_threshold: float = 5e-4
 
     # -- global scaling (monocular scale fixed at bootstrap) ----------------
     # (reference: src/config/config.py:12, applied at src/modules/vo.py:100)

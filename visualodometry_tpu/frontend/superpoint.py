@@ -84,7 +84,11 @@ def make_superpoint_extract_fn(
             img = img.astype(jnp.float32) * (1.0 / 255.0)
         img = _pad_to_multiple(img.astype(jnp.float32))
         return superpoint_extract(
-            model, params, img, max_keypoints=cfg.padded_keypoints
+            model,
+            params,
+            img,
+            max_keypoints=cfg.padded_keypoints,
+            threshold=cfg.superpoint_threshold,
         )
 
     return _extract

@@ -150,11 +150,20 @@ def _box(img: np.ndarray, r: int) -> np.ndarray:
 
 
 def _harris_cell_labels(
-    img: np.ndarray, max_cells: int = 48, rel_thresh: float = 0.01
+    img: np.ndarray, max_cells: int | None = None, rel_thresh: float = 0.01
 ) -> np.ndarray:
-    """65-way per-8x8-cell labels from Harris corner responses."""
+    """65-way per-8x8-cell labels from Harris corner responses.
+
+    `max_cells` defaults to 16% of the cell grid — a DENSITY, not a
+    fixed count: a fixed 48 at larger training crops silently diluted
+    the positive rate 4x and the trained detector fired on <120 pixels
+    of a 1226x370 frame (measured round 2) — far too sparse for the
+    2048-slot VO operating point.
+    """
     H, W = img.shape
     hc, wc = H // 8, W // 8
+    if max_cells is None:
+        max_cells = max(48, int(0.16 * hc * wc))
     gy, gx = np.gradient(img.astype(np.float32))
     Sxx, Syy, Sxy = _box(gx * gx, 2), _box(gy * gy, 2), _box(gx * gy, 2)
     R = (Sxx * Syy - Sxy * Sxy) - 0.05 * (Sxx + Syy) ** 2
