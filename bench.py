@@ -261,13 +261,21 @@ def bench_ba_solve_ms() -> float:
         mask=jnp.asarray(mask),
         K=K,
     )
+    import jax.numpy as jnp2
+
     solve = jax.jit(lambda p: ba_solve(p, iters=8, damping=1e-4))
-    jax.block_until_ready(solve(prob).X)  # compile
+    float(jnp2.sum(solve(prob).X))  # compile + settle (scalar-fetch sync)
     t0 = time.perf_counter()
-    reps = 5
+    reps = 10
+    # chain the reps through the data (each rep re-solves from the
+    # previous solution): identical re-dispatches of a pure program can
+    # read ~0 ms through the tunnel, and block_until_ready can return
+    # early (round-1 pitfalls) — so the timed region carries a real
+    # dependence and ends on an explicit scalar fetch
+    p = prob
     for _ in range(reps):
-        out = solve(prob)
-    jax.block_until_ready(out.X)
+        p = solve(p)
+    float(jnp2.sum(p.X))
     return (time.perf_counter() - t0) / reps * 1e3
 
 

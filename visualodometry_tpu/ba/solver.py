@@ -33,13 +33,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from visualodometry_tpu.geometry.camera import (
-    project_points,
-    projection_jacobian_point,
-)
-from visualodometry_tpu.geometry.linalg import inv3_sym, solve_psd
+from visualodometry_tpu.geometry.linalg import solve_psd
 from visualodometry_tpu.geometry.se3 import se3_exp
-from visualodometry_tpu.geometry.so3 import so3_hat
 
 
 class BAProblem(NamedTuple):
@@ -51,32 +46,109 @@ class BAProblem(NamedTuple):
 
 
 class LandmarkContrib(NamedTuple):
-    """Shard-local Σ_l terms of the reduced pose system + back-sub data."""
+    """Shard-local Σ_l terms of the reduced pose system + back-sub data.
+
+    Back-substitution fields are LANDMARK-LAST: the landmark axis is the
+    only large one, so it must ride the 128-lane dimension — trailing
+    (6, 3)-shaped block axes would be padded onto (8, 128) tiles, a ~16x
+    memory-traffic blowup that made the whole solve bandwidth-bound at
+    9% of speed-of-light (measured round 2: 62.7 -> see RESULTS.md).
+    """
 
     S: jnp.ndarray  # (P, P, 6, 6) — δ_pq U_p − Σ_l W V⁻¹ Wᵀ (local sum)
     rhs: jnp.ndarray  # (P, 6) — g − Σ_l W V⁻¹ h (local sum)
-    Vinv: jnp.ndarray  # (L_local, 3, 3)
-    W: jnp.ndarray  # (L_local, P, 6, 3)
-    h: jnp.ndarray  # (L_local, 3)
+    Vinv: jnp.ndarray  # (3, 3, L_local)
+    W: jnp.ndarray  # (P, 6, 3, L_local)
+    h: jnp.ndarray  # (3, L_local)
     seen: jnp.ndarray  # (L_local,)
 
 
-def _residuals_jacobians(T, X, uv, mask, K):
+def _residuals_jacobians_lanes(T, X, uv, mask, K):
+    """Residuals + Jacobians in landmark-last layout.
+
+    Returns (r (P, 2, L), A (P, 2, 6, L), B (P, 2, 3, L), m (P, L)):
+    every array keeps the large L axis on the lanes; the pose/block axes
+    are small and land on (well-filled) sublanes. The camera transform
+    itself is one (3, 3) @ (3, L) matmul per pose; the Jacobian entries
+    are closed-form elementwise expressions over (P, L).
+    """
+    dtype = X.dtype
     R = T[:, :3, :3]  # (P, 3, 3)
     t = T[:, :3, 3]  # (P, 3)
-    p_cam = (
-        jnp.einsum("pij,lj->lpi", R, X, precision="highest") + t[None, :, :]
-    )  # (L, P, 3)
-    uv_hat, z = project_points(p_cam, K)
-    r = uv_hat - uv  # (L, P, 2)
-    m = mask & (z > 1e-3)  # behind-camera obs would poison the solve
-    Jp = projection_jacobian_point(p_cam, K)  # (L, P, 2, 3)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), p_cam.shape + (3,))
-    Jx = jnp.concatenate([eye, -so3_hat(p_cam)], axis=-1)  # (L, P, 3, 6)
-    A = jnp.einsum("lpij,lpjk->lpik", Jp, Jx, precision="highest")
-    B = jnp.einsum("lpij,pjk->lpik", Jp, R, precision="highest")
-    w = m.astype(X.dtype)[..., None, None]
-    return r, A * w, B * w, m
+    p = (
+        jnp.einsum("pij,jl->pil", R, X.T, precision="highest")
+        + t[:, :, None]
+    )  # (P, 3, L)
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]  # (P, L)
+    eps = jnp.asarray(1e-8, dtype)
+    zs = jnp.where(jnp.abs(z) < eps, eps, z)
+    iz = 1.0 / zs
+    iz2 = iz * iz
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+
+    u = fx * x * iz + cx
+    v = fy * y * iz + cy
+    r = jnp.stack([u, v], axis=1) - uv.transpose(1, 2, 0)  # (P, 2, L)
+    m = mask.T & (z > 1e-3)  # behind-camera obs would poison the solve
+    w = m.astype(dtype)
+
+    zero = jnp.zeros_like(x)
+    # Jp rows (d uv / d p_cam) and their products with [I | -hat(p)]:
+    # standard SE(3) reprojection Jacobian, written out so each of the
+    # 6 (u) + 6 (v) entries is one fused elementwise expression on lanes
+    ju = (fx * iz, zero, -fx * x * iz2)
+    jv = (zero, fy * iz, -fy * y * iz2)
+    Au = jnp.stack(
+        [
+            ju[0], ju[1], ju[2],
+            -fx * x * y * iz2,
+            fx * (1.0 + x * x * iz2),
+            -fx * y * iz,
+        ],
+        axis=1,
+    )  # (P, 6, L)
+    Av = jnp.stack(
+        [
+            jv[0], jv[1], jv[2],
+            -fy * (1.0 + y * y * iz2),
+            fy * x * y * iz2,
+            fy * x * iz,
+        ],
+        axis=1,
+    )
+    A = jnp.stack([Au, Av], axis=1) * w[:, None, None, :]  # (P, 2, 6, L)
+    # B rows = Jp_row @ R_p (3-term contractions, lanes untouched)
+    Bu = jnp.einsum("pl,pk->pkl", ju[0], R[:, 0]) + jnp.einsum(
+        "pl,pk->pkl", ju[2], R[:, 2]
+    )
+    Bv = jnp.einsum("pl,pk->pkl", jv[1], R[:, 1]) + jnp.einsum(
+        "pl,pk->pkl", jv[2], R[:, 2]
+    )
+    B = jnp.stack([Bu, Bv], axis=1) * w[:, None, None, :]  # (P, 2, 3, L)
+    return r, A, B, m
+
+
+def _inv3_sym_lanes(V: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of symmetric (3, 3, L) matrices.
+
+    Same math as geometry.linalg.inv3_sym but for the matrix-first,
+    lanes-last layout (each component is an (L,) vector — pure VPU)."""
+    a, b, c = V[0, 0], V[0, 1], V[0, 2]
+    d, e, f = V[1, 1], V[1, 2], V[2, 2]
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    det = a * A + b * B + c * C
+    tiny = jnp.asarray(1e-30, V.dtype)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > tiny, det, tiny)
+    row0 = jnp.stack([A, B, C])
+    row1 = jnp.stack([B, D, E])
+    row2 = jnp.stack([C, E, F])
+    return jnp.stack([row0, row1, row2]) * inv_det
 
 
 def landmark_contributions(
@@ -89,35 +161,43 @@ def landmark_contributions(
 ) -> LandmarkContrib:
     """Per-landmark-block GN terms, summed over the local landmark set."""
     P = T.shape[0]
-    r, A, B, m = _residuals_jacobians(T, X, uv, mask, K)
+    r, A, B, m = _residuals_jacobians_lanes(T, X, uv, mask, K)
     w = m.astype(X.dtype)
+    rw = r * w[:, None, :]  # (P, 2, L)
 
-    U = jnp.einsum("lpik,lpim->pkm", A, A, precision="highest")
-    V = jnp.einsum("lpik,lpim->lkm", B, B, precision="highest")
-    W = jnp.einsum("lpik,lpim->lpkm", A, B, precision="highest")
-    g = jnp.einsum("lpik,lpi->pk", A, r * w[..., None], precision="highest")
-    h = jnp.einsum("lpik,lpi->lk", B, r * w[..., None], precision="highest")
+    # Σ over (obs index i, landmarks l): batched matmuls with K = 2L
+    U = jnp.einsum("pial,pibl->pab", A, A, precision="highest")  # (P,6,6)
+    # per-landmark 3x3 normal blocks: elementwise lane reductions
+    V = jnp.einsum("pial,pibl->abl", B, B, precision="highest")  # (3,3,L)
+    W = jnp.einsum("pial,pibl->pabl", A, B, precision="highest")  # (P,6,3,L)
+    g = jnp.einsum("pial,pil->pa", A, rw, precision="highest")  # (P, 6)
+    h = jnp.einsum("pial,pil->al", B, rw, precision="highest")  # (3, L)
 
-    V = V + (damping + 1e-6) * jnp.eye(3, dtype=X.dtype)
+    lam = damping + 1e-6
+    V = V.at[0, 0].add(lam).at[1, 1].add(lam).at[2, 2].add(lam)
     # closed-form symmetric 3x3 inverse: jnp.linalg.inv is a serialized
     # batched LU on TPU (~7 ms at L=5120 vs ~0 for the adjugate)
-    Vinv = inv3_sym(V)
+    Vinv = _inv3_sym_lanes(V)
 
-    WVinv = jnp.einsum("lpkj,lji->lpki", W, Vinv, precision="highest")
-    # S_pq[k,m] = -sum_{l,i} WVinv[l,p,k,i] W[l,q,m,i]: reshaped into ONE
-    # (6P, 3L) @ (3L, 6P) MXU matmul — the 4-index einsum lowers to a
-    # loop of small contractions (~2.6 ms at P=20, L=5120; ~0.3 ms as a
-    # single matmul)
-    L_loc = W.shape[0]
-    M1 = WVinv.transpose(1, 2, 0, 3).reshape(P * 6, L_loc * 3)
-    M2 = W.transpose(0, 3, 1, 2).reshape(L_loc * 3, P * 6)
-    S = -jnp.matmul(M1, M2, precision="highest").reshape(P, 6, P, 6)
+    WVinv = jnp.einsum(
+        "pabl,bcl->pacl", W, Vinv, precision="highest"
+    )  # (P, 6, 3, L)
+    # S_pq[a,b] = -Σ_{c,l} WVinv[p,a,c,l] W[q,b,c,l]: ONE (6P, 3L) x
+    # (6P, 3L)^T MXU matmul — both operands are already (p, a, c, l)
+    # contiguous, so no relayout is needed (dot_general contracts the
+    # fused (c, l) axis directly)
+    L_loc = W.shape[-1]
+    M1 = WVinv.reshape(P * 6, 3 * L_loc)
+    M2 = W.reshape(P * 6, 3 * L_loc)
+    S = -jax.lax.dot_general(
+        M1, M2, (((1,), (1,)), ((), ())), precision="highest"
+    ).reshape(P, 6, P, 6)
     S = S.transpose(0, 2, 1, 3)
     S = S.at[jnp.arange(P), jnp.arange(P)].add(U)
-    rhs = g - jnp.einsum("lpki,li->pk", WVinv, h, precision="highest")
+    rhs = g - jnp.einsum("pacl,cl->pa", WVinv, h, precision="highest")
 
     return LandmarkContrib(
-        S=S, rhs=rhs, Vinv=Vinv, W=W, h=h, seen=jnp.any(m, axis=1)
+        S=S, rhs=rhs, Vinv=Vinv, W=W, h=h, seen=jnp.any(m, axis=0)
     )
 
 
@@ -153,12 +233,12 @@ def apply_updates(
         "pij,pjk->pik", se3_exp(-delta_pose), T, precision="highest"
     )
     Wt_dp = jnp.einsum(
-        "lpki,pk->li", contrib.W, delta_pose, precision="highest"
+        "pabl,pa->bl", contrib.W, delta_pose, precision="highest"
     )
     delta_X = jnp.einsum(
-        "lij,lj->li", contrib.Vinv, contrib.h - Wt_dp, precision="highest"
+        "abl,bl->al", contrib.Vinv, contrib.h - Wt_dp, precision="highest"
     )
-    X_new = jnp.where(contrib.seen[:, None], X - delta_X, X)
+    X_new = jnp.where(contrib.seen[:, None], X - delta_X.T, X)
     return T_new, X_new
 
 
@@ -174,8 +254,8 @@ def ba_iteration(
 
 def ba_cost(prob: BAProblem) -> jnp.ndarray:
     """Masked mean squared reprojection error (diagnostic)."""
-    r, _, _, m = _residuals_jacobians(*prob)
-    err = jnp.sum(r * r, axis=-1) * m.astype(r.dtype)
+    r, _, _, m = _residuals_jacobians_lanes(*prob)
+    err = jnp.sum(r * r, axis=1) * m.astype(r.dtype)
     return jnp.sum(err) / jnp.maximum(jnp.sum(m), 1.0)
 
 
