@@ -420,6 +420,7 @@ def main():
             if "fps_superpoint" in stages
             else None
         ),
+        "superpoint_resets": stages.get("superpoint_resets"),
         "superpoint_ate_sim3_m": (
             round(stages["superpoint_ate_sim3_m"], 3)
             if "superpoint_ate_sim3_m" in stages
