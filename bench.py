@@ -362,11 +362,16 @@ def main():
             if "fps_tpu" in stages:
                 break
 
-    # CPU anchor: the reference's actual loop on the same frames
+    # CPU anchor: the reference's actual loop on the same frames. Two
+    # runs, best fps kept — the anchor is host-load sensitive (measured
+    # 5.8 fps sharing the CPU with tests vs 7.9 idle) and the speedup
+    # claim should be against the reference at its best.
     from visualodometry_tpu.eval import ate_rmse
     from visualodometry_tpu.eval.reference_cv2 import run_reference_pipeline
 
     ref_pos, ref_stats = run_reference_pipeline(u8, K, _reference_cfg())
+    _, ref_stats2 = run_reference_pipeline(u8, K, _reference_cfg())
+    ref_stats["fps"] = max(ref_stats["fps"], ref_stats2["fps"])
     ref_ate = float(ate_rmse(ref_pos[8:], gt[8:], align="sim3"))
 
     if "fps_tpu" not in stages:
