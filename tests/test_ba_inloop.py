@@ -66,6 +66,50 @@ class TestWindow:
         assert int(win.count) == 0
 
 
+class TestApplyPoseDelta:
+    def _outs(self, C, is_kf):
+        from visualodometry_tpu.core.state import StepOutput
+
+        z = jnp.zeros(C)
+        zi = jnp.zeros(C, jnp.int32)
+        zb = jnp.zeros(C, bool)
+        return StepOutput(
+            T_wc=jnp.broadcast_to(jnp.eye(4), (C, 4, 4)),
+            speed=z, baseline_speed=z,
+            initialized=jnp.ones(C, bool),
+            is_keyframe=jnp.asarray(is_kf),
+            kf_reason=zi, did_reset=zb, median_flow=z,
+            num_tracked=zi, num_matches=zi,
+            curr_ids=jnp.zeros((C, 4), jnp.int32),
+            match_idx=jnp.zeros((C, 4), jnp.int32),
+            match_valid=jnp.zeros((C, 4), bool),
+        )
+
+    def test_no_keyframe_chunk_gets_full_correction(self):
+        """ADVICE r2 (medium): a chunk that pushed no keyframe but whose
+        BA solve produced a delta must correct ALL its emitted poses
+        (they were tracked against a prior-chunk keyframe), keeping the
+        emitted trajectory consistent with the delta-transported carry."""
+        from visualodometry_tpu.core.runner import apply_pose_delta
+
+        delta = jnp.eye(4).at[0, 3].set(2.5)
+        outs = self._outs(4, [False, False, False, False])
+        fixed = apply_pose_delta(outs, delta)
+        np.testing.assert_allclose(
+            np.asarray(fixed.T_wc[:, 0, 3]), 2.5, atol=1e-6
+        )
+
+    def test_correction_from_last_keyframe_on(self):
+        from visualodometry_tpu.core.runner import apply_pose_delta
+
+        delta = jnp.eye(4).at[0, 3].set(2.5)
+        outs = self._outs(4, [False, True, False, False])
+        fixed = apply_pose_delta(outs, delta)
+        np.testing.assert_allclose(
+            np.asarray(fixed.T_wc[:, 0, 3]), [0.0, 2.5, 2.5, 2.5], atol=1e-6
+        )
+
+
 class TestChunkedBA:
     def test_chunked_runner_with_inloop_ba(self):
         """Rendered images -> chunked runner with device BA: tracks and

@@ -91,3 +91,30 @@ class TestPatchSamplingParity:
         cfg = _cfg()
         P = -(-(2 * (fs._patch_margin(cfg) + 1)) // 8) * 8
         assert fs._patch_margin(cfg) <= P // 2 - 1
+
+    def test_unaligned_shape_identical(self):
+        """Non-tile-multiple H/W (the real octave case, e.g. 613x306):
+        the field must be padded to the (8, 128) grid and edge keypoints
+        near the right/bottom must still sample identically to the
+        gather path (ADVICE r2: the clamp `min(x0 & ~127, W - wide_x)`
+        was only aligned when W % 128 == 0)."""
+        rng = np.random.default_rng(7)
+        H, W = 94, 330  # H % 8 = 6, W % 128 = 74
+        img = np.zeros((H, W), np.float32)
+        ys, xs = np.mgrid[0:H, 0:W]
+        # blobs hugging every border plus the interior
+        for cy, cx in [(10, 10), (10, W - 11), (H - 11, 10),
+                       (H - 11, W - 11), (H - 11, W // 2), (H // 2, W - 11),
+                       (H // 2, W // 2), (12, W - 40), (H - 13, W - 40)]:
+            img += np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * 2.5**2))
+        img /= img.max()
+        kw = dict(max_keypoints=128, sift_n_features=128, sift_num_octaves=1)
+        f_g = fs.extract_sift(jnp.asarray(img), _cfg(sift_sampling="gather", **kw))
+        f_p = fs.extract_sift(jnp.asarray(img), _cfg(sift_sampling="patch", **kw))
+        assert bool(jnp.any(f_g.valid))
+        v = np.asarray(f_g.valid)
+        np.testing.assert_array_equal(v, np.asarray(f_p.valid))
+        np.testing.assert_allclose(
+            np.asarray(f_p.desc)[v], np.asarray(f_g.desc)[v],
+            rtol=0, atol=1e-6,
+        )

@@ -85,27 +85,7 @@ def make_chunked_pipeline_fn(
     from visualodometry_tpu.ba.inloop import make_ba_chunk_fn
 
     ba_chunk = jax.jit(make_ba_chunk_fn(cfg, K))
-
-    @jax.jit
-    def apply_delta(outs: StepOutput, delta: jnp.ndarray) -> StepOutput:
-        # Retro-correct this chunk's emitted poses by the BA pose delta
-        # from the newest keyframe on (frames after it were tracked in
-        # that keyframe's frame of reference, so the rigid transport is
-        # coherent; BA only runs when the window is full, which rules
-        # out a reset after that keyframe — ba/inloop.py). Without this
-        # the correction would only land on the NEXT chunk's outputs,
-        # kinking the trajectory at the chunk boundary (measured: ATE
-        # 0.24 vs 0.14 on the 24-frame fixture).
-        C = outs.is_keyframe.shape[0]
-        idx = jnp.arange(C)
-        has_kf = jnp.any(outs.is_keyframe)
-        last_kf = jnp.where(
-            has_kf, C - 1 - jnp.argmax(outs.is_keyframe[::-1]), C
-        )
-        mask = (idx >= last_kf)[:, None, None]
-        return outs._replace(
-            T_wc=jnp.where(mask, delta[None] @ outs.T_wc, outs.T_wc)
-        )
+    apply_delta = jax.jit(apply_pose_delta)
 
     def run_chunk_ba(carry, imgs: jnp.ndarray):
         state, win = carry
@@ -116,3 +96,31 @@ def make_chunked_pipeline_fn(
         return (state, win), outs
 
     return run_chunk_ba
+
+
+def apply_pose_delta(outs: StepOutput, delta: jnp.ndarray) -> StepOutput:
+    """Retro-correct a chunk's emitted poses by the BA pose delta."""
+    # Retro-correct this chunk's emitted poses by the BA pose delta
+    # from the newest keyframe on (frames after it were tracked in
+    # that keyframe's frame of reference, so the rigid transport is
+    # coherent; BA only runs when the window is full, which rules
+    # out a reset after that keyframe — ba/inloop.py). Without this
+    # the correction would only land on the NEXT chunk's outputs,
+    # kinking the trajectory at the chunk boundary (measured: ATE
+    # 0.24 vs 0.14 on the 24-frame fixture). A chunk that pushed NO
+    # keyframe still solves once the window is full; its delta is
+    # anchored on the window's newest keyframe from a PRIOR chunk,
+    # and every frame of this chunk was tracked relative to that
+    # keyframe — so the correction applies to the whole chunk
+    # (ADVICE r2: leaving those frames uncorrected while the carried
+    # state is transported recreates the boundary kink).
+    C = outs.is_keyframe.shape[0]
+    idx = jnp.arange(C)
+    has_kf = jnp.any(outs.is_keyframe)
+    last_kf = jnp.where(
+        has_kf, C - 1 - jnp.argmax(outs.is_keyframe[::-1]), 0
+    )
+    mask = (idx >= last_kf)[:, None, None]
+    return outs._replace(
+        T_wc=jnp.where(mask, delta[None] @ outs.T_wc, outs.T_wc)
+    )

@@ -299,8 +299,8 @@ def _pack_gradients(gauss: jnp.ndarray):
     return jnp.stack([gx, gy], axis=-1).astype(jnp.bfloat16).reshape(-1, 2)
 
 
-def _pack_gradients_planar(gauss: jnp.ndarray):
-    """Same gradient field as _pack_gradients, packed (Lvl, H, W) int32.
+def _pack_gradients_planar(gauss: jnp.ndarray, h_pad: int, w_pad: int):
+    """Same gradient field as _pack_gradients, packed (Lvl, H_pad, W_pad) int32.
 
     This is the layout the patch-DMA path wants: the (gx, gy) bf16
     pair bitcast into ONE 32-bit word per pixel, so each keypoint is a
@@ -309,12 +309,25 @@ def _pack_gradients_planar(gauss: jnp.ndarray):
     unaligned windows into place. Values are bit-identical to the
     row-packed field after the matching bitcast back (_unpack_patches),
     so the two sampling paths read the same bf16 numbers.
+
+    The field is zero-padded to (h_pad, w_pad) with h_pad % 8 == 0 and
+    w_pad % 128 == 0 so every DMA window origin the kernel computes
+    provably sits on the (8, 128) tile grid even when the true H/W do
+    not (Mosaic's `multiple_of` hints must be facts, not wishes —
+    real octave shapes like 613x306 are NOT tile-multiples). Padding
+    pixels are never *sampled*: _make_patch_sampler clips tap
+    coordinates to the true image extent before indexing.
     """
     gx, gy = _gradients(gauss)
     pair = jnp.stack(
         [gx.astype(jnp.bfloat16), gy.astype(jnp.bfloat16)], axis=-1
     )  # (L, H, W, 2)
-    return jax.lax.bitcast_convert_type(pair, jnp.int32)
+    field = jax.lax.bitcast_convert_type(pair, jnp.int32)
+    L, H, W = field.shape
+    assert h_pad >= H and w_pad >= W and h_pad % 8 == 0 and w_pad % 128 == 0
+    if h_pad != H or w_pad != W:
+        field = jnp.pad(field, ((0, 0), (0, h_pad - H), (0, w_pad - W)))
+    return field
 
 
 def _unpack_patches(patches_i32: jnp.ndarray) -> jnp.ndarray:
@@ -338,22 +351,25 @@ def _patch_margin(cfg: VOConfig) -> int:
     return int(math.ceil(max(desc_off, ori_off)))
 
 
-def _patch_origins(kps: OctaveKeypoints, H: int, W: int, P: int):
+def _patch_origins(kps: OctaveKeypoints, H: int, W: int, h_pad: int, P: int):
     """Window origins so each keypoint sits (P/2-1, P/2) into its patch.
 
-    Clamped into the image; after clamping, a patch edge coincides with
-    the image edge exactly on the side where clamping bit, so clipping
-    tap coordinates to the patch reproduces the gather path's clip to
-    the image bit-for-bit (taps never overrun the opposite side because
-    tap offsets are bounded by _patch_margin <= P//2 - 1).
+    Origins are clamped so the patch covers every tap the orientation/
+    descriptor stages will read *after those taps are clipped to the
+    true image extent* (tap offsets are bounded by _patch_margin <=
+    P//2 - 1, and _make_patch_sampler clips to the image before
+    indexing, so the patch only ever needs to contain in-image pixels
+    near the keypoint).
 
     The row origin is additionally aligned DOWN to a multiple of 8 and
     the window made 8 rows taller (P_y = P + 8): the patch DMA's dynamic
     row offset must sit on the (8, 128) tile grid (ops/patches.py). The
-    aligned window still covers every tap (it only ever grows upward),
-    and its edges still coincide with the image edges exactly when
-    clamping bit (top: 0 is aligned; bottom: origin clamps to H - P - 8
-    so the window ends at H), preserving the bit-exact clip semantics.
+    aligned clamp bound is h_pad - (P + 8) — a multiple of 8 because
+    the FIELD is padded to h_pad % 8 == 0 (and P % 8 == 0), so the
+    Mosaic alignment hint is a provable fact for every keypoint,
+    including ones hugging the bottom edge of a non-tile-multiple
+    image. Windows clamped there may extend into padding rows, which
+    the sampler's image-extent clip guarantees are never read.
     """
     x0 = jnp.clip(
         jnp.floor(kps.xy[:, 0]).astype(jnp.int32) - (P // 2 - 1), 0, W - P
@@ -361,21 +377,33 @@ def _patch_origins(kps: OctaveKeypoints, H: int, W: int, P: int):
     y0 = jnp.clip(
         jnp.floor(kps.xy[:, 1]).astype(jnp.int32) - (P // 2 - 1), 0, H - P
     )
-    y0 = jnp.clip(y0 & ~7, 0, H - (P + 8))
+    y0 = jnp.clip(y0 & ~7, 0, h_pad - (P + 8))
     return y0, x0
 
 
-def _make_patch_sampler(patches: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray):
+def _make_patch_sampler(
+    patches: jnp.ndarray,
+    y0: jnp.ndarray,
+    x0: jnp.ndarray,
+    H: int,
+    W: int,
+):
     """Nearest-tap (gx, gy) sampler over per-keypoint gradient patches.
 
     patches: (K, 2, Py, Px) bf16 from ops/patches.extract_patches
     (Py = Px + 8: the row origin is tile-aligned, see _patch_origins).
-    The per-tap selection is TWO one-hot contractions instead of a
-    gather: T1 = Hy @ patch collapses the row choice into a well-shaped
-    (M, Py) @ (Py, 2Px) MXU matmul per keypoint, and the column choice
-    is an elementwise mask-reduce. One-hot selection of bf16 values is
-    exact, so this returns bit-identical samples to the flat-gather
-    path (_nearest_grad_pair) — verified in tests/test_sift_patches.py.
+    Tap coordinates are clipped to the TRUE image extent (H, W) first —
+    exactly the clip the flat-gather path applies — and only then
+    rebased into patch coordinates; _patch_origins guarantees the
+    image-clipped tap always lies inside the patch, so padding pixels
+    (the field is padded to tile multiples, see _pack_gradients_planar)
+    are never selected. The per-tap selection is TWO one-hot
+    contractions instead of a gather: T1 = Hy @ patch collapses the row
+    choice into a well-shaped (M, Py) @ (Py, 2Px) MXU matmul per
+    keypoint, and the column choice is an elementwise mask-reduce.
+    One-hot selection of bf16 values is exact, so this returns
+    bit-identical samples to the flat-gather path (_nearest_grad_pair)
+    — verified in tests/test_sift_patches.py.
     """
     K, C, Py, Px = patches.shape
     # (K, y, c*x) so the row contraction leaves lanes = C*Px
@@ -384,10 +412,14 @@ def _make_patch_sampler(patches: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray):
     iota_x = jnp.arange(Px, dtype=jnp.int32)
 
     def sample(xs: jnp.ndarray, ys: jnp.ndarray):
-        px = xs - x0[:, None].astype(xs.dtype)
-        py = ys - y0[:, None].astype(ys.dtype)
-        xi = jnp.clip(jnp.round(px), 0.0, Px - 1.0).astype(jnp.int32)
-        yi = jnp.clip(jnp.round(py), 0.0, Py - 1.0).astype(jnp.int32)
+        # the gather path's clip-to-image, verbatim (_nearest_grad_pair)
+        xi_abs = jnp.clip(jnp.round(xs), 0.0, W - 1.0).astype(jnp.int32)
+        yi_abs = jnp.clip(jnp.round(ys), 0.0, H - 1.0).astype(jnp.int32)
+        # rebase into the patch; the residual clip can only bite for
+        # invalid (masked) keypoints — real taps are in-patch by the
+        # _patch_origins coverage argument
+        xi = jnp.clip(xi_abs - x0[:, None], 0, Px - 1)
+        yi = jnp.clip(yi_abs - y0[:, None], 0, Py - 1)
         hy = (yi[..., None] == iota_y).astype(patches.dtype)  # (K, M, Py)
         t1 = jnp.einsum(
             "kmy,kyq->kmq", hy, patcht, preferred_element_type=jnp.float32
@@ -609,7 +641,12 @@ def extract_sift(img: jnp.ndarray, cfg: VOConfig) -> Features:
         kps = detect_octave(dogs[o], cfg, budgets[o])
         _, H_o, W_o = gauss[o].shape
         wide = ((P + 127) // 128) * 128 + 128  # kernel's DMA window
-        fits = H_o >= P + 8 and W_o >= wide and budgets[o] % 8 == 0
+        # field padded to the (8, 128) tile grid so every DMA origin
+        # the kernel computes is provably aligned (real octave shapes
+        # like 613x306 are not tile multiples)
+        h_pad = -(-H_o // 8) * 8
+        w_pad = max(-(-W_o // 128) * 128, wide)
+        fits = h_pad >= P + 8 and budgets[o] % 8 == 0
         if want_patch and fits:
             # patch-DMA sampling: one packed (P+8, P) window per
             # keypoint (ops/patches.py) feeds both stages;
@@ -617,8 +654,8 @@ def extract_sift(img: jnp.ndarray, cfg: VOConfig) -> Features:
             # _make_patch_sampler)
             from visualodometry_tpu.ops.patches import extract_patches
 
-            field = _pack_gradients_planar(gauss[o])
-            y0, x0 = _patch_origins(kps, H_o, W_o, P)
+            field = _pack_gradients_planar(gauss[o], h_pad, w_pad)
+            y0, x0 = _patch_origins(kps, H_o, W_o, h_pad, P)
             lvl = jnp.clip(kps.scale_idx, 0, field.shape[0] - 1)
             patches = _unpack_patches(
                 extract_patches(
@@ -626,7 +663,7 @@ def extract_sift(img: jnp.ndarray, cfg: VOConfig) -> Features:
                     interpret=not on_tpu,
                 )
             )
-            sampler = _make_patch_sampler(patches, y0, x0)
+            sampler = _make_patch_sampler(patches, y0, x0, H_o, W_o)
             theta = compute_orientations(gauss[o], kps, sampler=sampler)
             desc = compute_descriptors(gauss[o], kps, theta, sampler=sampler)
         else:

@@ -98,9 +98,12 @@ def extract_patches(
     still cover every tap — frontend/sift.py:_patch_origins). x0 may
     be arbitrary; the kernel over-fetches a 128-aligned window
     (`wide_x` lanes, the next 128-multiple that always covers) and
-    rotates the target window into place, so W must be >= wide_x
-    (256 for patch_x = 64). Returns (K, Py, Px) int32. K must be a
-    multiple of `group`.
+    rotates the target window into place. W must be a multiple of 128
+    with W >= wide_x (256 for patch_x = 64) — otherwise the clamp
+    `min(x0 & ~127, W - wide_x)` lands off the lane-tile grid and the
+    kernel's `multiple_of` hint would assert a falsehood (callers pad
+    the field: frontend/sift.py:_pack_gradients_planar). Returns
+    (K, Py, Px) int32. K must be a multiple of `group`.
     """
     L, H, W = field.shape
     K = lvl.shape[0]
@@ -109,6 +112,9 @@ def extract_patches(
     wide_x = ((patch_x + 127) // 128) * 128 + 128
     assert K % group == 0, (K, group)
     assert H >= patch_y and W >= wide_x, (H, W, patch_y, wide_x)
+    # both alignment hints below must be provable: W % 128 == 0 makes
+    # the W - wide_x clamp 128-aligned; callers own the y0 contract
+    assert W % 128 == 0, f"field W={W} must be a multiple of 128"
 
     x0 = x0.astype(jnp.int32)
     xa = jnp.minimum(x0 & ~127, W - wide_x)  # 128-aligned, window fits
