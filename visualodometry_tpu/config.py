@@ -100,6 +100,9 @@ class VOConfig:
     #                                   algorithm, planar-safe) | "8point"
     pnp_hypotheses: int = 512  # batched DLT-PnP RANSAC hypotheses
     pnp_refine_iters: int = 10  # damped GN iterations on inliers
+    # refine -> re-estimate-inliers rounds (LO-RANSAC local optimization;
+    # cv2.solvePnPRansac's trailing LM-over-consensus equivalent)
+    pnp_refine_rounds: int = 3
     seed: int = 0
 
     # KLT tracking mode (project-statement design; core/klt_step.py)

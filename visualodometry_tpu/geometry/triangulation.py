@@ -62,10 +62,30 @@ def triangulate_points(
 
     Returns (pts3d (N, 3), valid (N,) bool) at fixed shape; invalid slots
     hold garbage and must be masked by the caller.
+
+    The DLT solve runs in a conditioned world frame — origin at camera
+    2's center, unit baseline — and the result is mapped back. Without
+    this the homogeneous [X; 1] vector is badly column-scaled whenever
+    the trajectory runs at a large global scale (the reference hardcodes
+    global_scale=20 for KITTI, src/config/config.py:12), and the f32
+    eigh loses enough depth precision to cost ~10x end-to-end ATE
+    (engine ablation: 0.268 at scale 20 vs 0.023 at scale 1.2 before
+    this fix). cv2 escapes only because it solves in float64.
     """
-    P1 = jnp.matmul(K, T_cw1[:3, :], precision="highest")
-    P2 = jnp.matmul(K, T_cw2[:3, :], precision="highest")
-    pts3d = triangulate_dlt(P1, P2, uv1, uv2)
+    # camera centers; b = baseline length (the conditioning scale)
+    c1 = -jnp.matmul(T_cw1[:3, :3].T, T_cw1[:3, 3])
+    c2 = -jnp.matmul(T_cw2[:3, :3].T, T_cw2[:3, 3])
+    b = jnp.maximum(jnp.linalg.norm(c1 - c2), 1e-9)
+    # world' = (world - c2) / b; camera coords divide by b too, which is
+    # projectively invisible: T'_cw = [R, (R c2 + t) / b]
+    def _cond(T_cw):
+        Rt = T_cw[:3, :]
+        t_new = (jnp.matmul(Rt[:, :3], c2) + Rt[:, 3]) / b
+        return jnp.concatenate([Rt[:, :3], t_new[:, None]], axis=1)
+
+    P1 = jnp.matmul(K, _cond(T_cw1), precision="highest")
+    P2 = jnp.matmul(K, _cond(T_cw2), precision="highest")
+    pts3d = b * triangulate_dlt(P1, P2, uv1, uv2) + c2
 
     proj2, z2 = project_points_T(pts3d, T_cw2, K)
     err2 = jnp.linalg.norm(proj2 - uv2, axis=-1)
@@ -74,8 +94,6 @@ def triangulate_points(
     if cfg.min_parallax_deg > 0.0:
         import numpy as _np
 
-        c1 = -jnp.matmul(T_cw1[:3, :3].T, T_cw1[:3, 3])
-        c2 = -jnp.matmul(T_cw2[:3, :3].T, T_cw2[:3, 3])
         r1 = pts3d - c1
         r2 = pts3d - c2
         cos_a = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(
