@@ -72,12 +72,16 @@ def main():
                 fe_cv2, cfg, pnp=make_tpu_pnp(K, cfg),
             )
     elif which == "feat":
-        for contrast in (0.02, 0.01, 0.005):
-            fcfg = tpu_cfg.replace(sift_contrast_threshold=contrast)
+        for contrast, peaks in (
+            (0.02, 1), (0.01, 1), (0.005, 1), (0.02, 2), (0.01, 2)
+        ):
+            fcfg = tpu_cfg.replace(
+                sift_contrast_threshold=contrast, sift_orientation_peaks=peaks
+            )
             fe = tpu_features(u8, fcfg)
             med = np.median([len(k) for k, _ in fe])
             report(
-                f"B  tpu feats contrast={contrast} (med {med:.0f} kps)",
+                f"B  tpu feats contrast={contrast} peaks={peaks} (med {med:.0f} kps)",
                 fe, ref_cfg,
             )
     elif which == "ess":

@@ -121,3 +121,48 @@ class TestSiftDetector:
         cfg = _cfg()
         feats = extract_sift(jnp.zeros((H, W)), cfg)
         assert not bool(np.asarray(feats.valid).any())
+
+
+class TestOrientationPeakSplitting:
+    def test_peaks2_layout_and_quality(self):
+        """cfg.sift_orientation_peaks=2: same slot count, secondary
+        slots share xy with their primary, secondary descriptors differ
+        (different orientation frame), and a corner-rich texture
+        produces at least some multi-peak keypoints."""
+        rng = np.random.default_rng(9)
+        # anisotropic texture (corners/gratings) so orientation
+        # histograms genuinely carry multiple peaks
+        yy, xx = np.mgrid[0:H, 0:W]
+        img = 0.5 + 0.25 * np.sign(np.sin(xx * 0.35) * np.sin(yy * 0.3))
+        img += 0.1 * rng.standard_normal((H, W))
+        img = np.clip(img, 0, 1).astype(np.float32)
+
+        from visualodometry_tpu.frontend.sift import _octave_budgets
+
+        cfg1 = _cfg(sift_orientation_peaks=1)
+        cfg2 = _cfg(sift_orientation_peaks=2)
+        f1 = extract_sift(jnp.asarray(img), cfg1)
+        f2 = extract_sift(jnp.asarray(img), cfg2)
+        assert f2.kps.shape == f1.kps.shape  # slot count unchanged
+
+        budgets = _octave_budgets(
+            cfg2.padded_keypoints // 2, cfg2.sift_num_octaves
+        )
+        kps = np.asarray(f2.kps)
+        desc = np.asarray(f2.desc)
+        valid = np.asarray(f2.valid)
+        off = 0
+        n_secondary = 0
+        for b in budgets:
+            prim = slice(off, off + b)
+            seco = slice(off + b, off + 2 * b)
+            both = valid[prim] & valid[seco]
+            n_secondary += int(both.sum())
+            # secondary slots duplicate the keypoint position...
+            np.testing.assert_array_equal(kps[seco][both], kps[prim][both])
+            # ...but carry a distinct orientation frame
+            if both.any():
+                diff = np.abs(desc[seco][both] - desc[prim][both]).max(axis=1)
+                assert (diff > 1e-3).all()
+            off += 2 * b
+        assert n_secondary >= 3, n_secondary

@@ -53,6 +53,11 @@ class VOConfig:
     sift_sampling: str = "auto"
 
     # matcher
+    # orientation peaks per keypoint (OpenCV emits a keypoint per
+    # histogram peak >= 80% of max; 2 reproduces that recall at the same
+    # slot count by halving the detection budget — cv2's own accounting,
+    # where split keypoints count toward nfeatures)
+    sift_orientation_peaks: int = 1
     lowe_ratio: float = 0.75  # (reference: src/modules/frontend.py:104)
     mutual_check: bool = False  # reference BFMatcher uses crossCheck=False
     matcher_backend: str = "auto"  # "auto" | "jnp" | "pallas"

@@ -446,6 +446,18 @@ def compute_orientations(
     `sampler` (from _make_patch_sampler) replaces the flat-gather tap
     reads with per-keypoint patch contractions; results are identical.
     """
+    hist = orientation_histogram(gauss, kps, grad_packed, sampler)
+    theta1, _ = _hist_peak_angle(hist, jnp.argmax(hist, axis=-1))
+    return theta1
+
+
+def orientation_histogram(
+    gauss: jnp.ndarray,
+    kps: OctaveKeypoints,
+    grad_packed: jnp.ndarray | None = None,
+    sampler=None,
+) -> jnp.ndarray:
+    """Smoothed 36-bin gradient-orientation histogram per keypoint."""
     S_levels, H, W = gauss.shape
     if sampler is None and grad_packed is None:
         grad_packed = _pack_gradients(gauss)
@@ -496,8 +508,11 @@ def compute_orientations(
             + (jnp.roll(h, 2, -1) + jnp.roll(h, -2, -1))
         ) / 16.0
 
-    hist = smooth(smooth(hist))
-    peak = jnp.argmax(hist, axis=-1)  # (K,)
+    return smooth(smooth(hist))
+
+
+def _hist_peak_angle(hist: jnp.ndarray, peak: jnp.ndarray):
+    """Parabolic-interpolated angle of histogram bin `peak` (batched)."""
     hp = jnp.take_along_axis(hist, peak[:, None], -1)[:, 0]
     hl = jnp.take_along_axis(hist, ((peak - 1) % _NUM_BINS)[:, None], -1)[:, 0]
     hr = jnp.take_along_axis(hist, ((peak + 1) % _NUM_BINS)[:, None], -1)[:, 0]
@@ -506,7 +521,35 @@ def compute_orientations(
         jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0
     )
     bin_f = peak.astype(hist.dtype) + jnp.clip(delta, -0.5, 0.5)
-    return (bin_f + 0.5) / _NUM_BINS * 2 * jnp.pi - jnp.pi
+    return (bin_f + 0.5) / _NUM_BINS * 2 * jnp.pi - jnp.pi, hp
+
+
+def second_peak_orientation(hist: jnp.ndarray):
+    """Top-2 orientation peaks from a smoothed histogram (peak splitting).
+
+    OpenCV emits one keypoint per histogram peak >= 80% of the maximum
+    (the reference delegates via cv2.SIFT, src/modules/frontend.py:27-32);
+    this returns (theta1, theta2, has2) where theta2 is the secondary
+    circular-local-max peak >= 0.8 * max (excluding the primary peak's
+    two shoulder bins) and has2 marks keypoints that actually have one.
+    The caller duplicates keypoint slots for secondaries (extract_sift
+    with cfg.sift_orientation_peaks == 2).
+    """
+    peak1 = jnp.argmax(hist, axis=-1)
+    theta1, h1 = _hist_peak_angle(hist, peak1)
+
+    is_localmax = (hist >= jnp.roll(hist, 1, -1)) & (
+        hist >= jnp.roll(hist, -1, -1)
+    )
+    idx = jnp.arange(_NUM_BINS, dtype=jnp.int32)
+    # exclude the primary peak and its shoulder bins (circular)
+    d = jnp.abs(idx[None, :] - peak1[:, None])
+    d = jnp.minimum(d, _NUM_BINS - d)
+    cand = is_localmax & (d > 1) & (hist >= 0.8 * h1[:, None])
+    peak2 = jnp.argmax(jnp.where(cand, hist, -jnp.inf), axis=-1)
+    has2 = jnp.any(cand, axis=-1)
+    theta2, _ = _hist_peak_angle(hist, peak2)
+    return theta1, theta2, has2
 
 
 def compute_descriptors(
@@ -629,7 +672,14 @@ def extract_sift(img: jnp.ndarray, cfg: VOConfig) -> Features:
         img, cfg.sift_num_octaves, S, sigma0=cfg.sift_sigma
     )
     total = cfg.padded_keypoints
-    budgets = _octave_budgets(total, cfg.sift_num_octaves)
+    peaks = getattr(cfg, "sift_orientation_peaks", 1)
+    # peak splitting (OpenCV: one keypoint per orientation peak >= 80%
+    # of max): each detected keypoint yields `peaks` slots, so the
+    # detection budget shrinks to keep the total slot count — exactly
+    # cv2's accounting, where duplicated-orientation keypoints count
+    # toward nfeatures. Descriptor cost is per-slot, so this is
+    # throughput-neutral at fixed padded_keypoints.
+    budgets = _octave_budgets(total // peaks, cfg.sift_num_octaves)
 
     mode = getattr(cfg, "sift_sampling", "auto")
     on_tpu = jax.default_backend() == "tpu"
@@ -664,16 +714,25 @@ def extract_sift(img: jnp.ndarray, cfg: VOConfig) -> Features:
                 )
             )
             sampler = _make_patch_sampler(patches, y0, x0, H_o, W_o)
-            theta = compute_orientations(gauss[o], kps, sampler=sampler)
-            desc = compute_descriptors(gauss[o], kps, theta, sampler=sampler)
+            grad_packed = None
         else:
             grad_packed = _pack_gradients(gauss[o])  # shared by both stages
-            theta = compute_orientations(gauss[o], kps, grad_packed)
-            desc = compute_descriptors(gauss[o], kps, theta, grad_packed)
-        # octave coords -> original image pixels
-        all_xy.append(kps.xy * (2.0**o))
-        all_desc.append(desc)
-        all_valid.append(kps.valid)
+            sampler = None
+        hist = orientation_histogram(gauss[o], kps, grad_packed, sampler)
+        if peaks == 1:
+            theta, _ = _hist_peak_angle(hist, jnp.argmax(hist, axis=-1))
+            thetas_valids = [(theta, kps.valid)]
+        else:
+            theta1, theta2, has2 = second_peak_orientation(hist)
+            thetas_valids = [(theta1, kps.valid), (theta2, kps.valid & has2)]
+        for theta, valid in thetas_valids:
+            desc = compute_descriptors(
+                gauss[o], kps, theta, grad_packed, sampler
+            )
+            # octave coords -> original image pixels
+            all_xy.append(kps.xy * (2.0**o))
+            all_desc.append(desc)
+            all_valid.append(valid)
 
     return Features(
         kps=jnp.concatenate(all_xy, axis=0),
