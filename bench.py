@@ -46,7 +46,9 @@ N_SLOTS = 4096
 IMG_SIZE = (1226, 370)
 CHUNK = 8
 N_FRAMES = CHUNK * 4
+N_FRAMES_LONG = 128  # long-health stage: real turns + a blackout reset
 _FIXTURE = "/root/repo/.bench_fixture_textured.npz"
+_FIXTURE_LONG = "/root/repo/.bench_fixture_long.npz"
 _LAST_GOOD = "/root/repo/BENCH_LAST_GOOD.json"
 
 
@@ -148,6 +150,73 @@ def _load_fixture():
     gt = scene.gt_positions
     np.savez_compressed(_FIXTURE, u8=u8, gt=gt, K=scene.K)
     return u8, gt, scene.K
+
+
+def _load_fixture_long():
+    """128-frame full-res corridor with S-curves + a 3-frame blackout.
+
+    Exercises what the 32-frame anchor fixture cannot (VERDICT r2 item
+    6): sustained tracking through real turns, the reset branch, and
+    re-bootstrap — at the KITTI image shape. Blackout at frames 72-75.
+    """
+    if os.path.exists(_FIXTURE_LONG):
+        d = np.load(_FIXTURE_LONG, allow_pickle=True)
+        return d["u8"], d["gt"], d["K"], tuple(d["blank"])
+    from visualodometry_tpu.data.synthetic import make_long_corridor_fixture
+
+    u8, gt, K, blank = make_long_corridor_fixture(
+        num_frames=N_FRAMES_LONG, image_size=IMG_SIZE, blank=(72, 75)
+    )
+    np.savez_compressed(
+        _FIXTURE_LONG, u8=u8, gt=gt, K=K, blank=np.array(blank)
+    )
+    return u8, gt, K, blank
+
+
+def bench_long_sequence(cfg) -> dict:
+    """Long-run health: fps + per-segment ATE + reset accounting."""
+    import jax.numpy as jnp
+
+    from visualodometry_tpu.core import init_state
+    from visualodometry_tpu.core.runner import make_chunked_pipeline_fn
+    from visualodometry_tpu.data.synthetic import segment_ate
+
+    u8, gt, K, blank = _load_fixture_long()
+    run = make_chunked_pipeline_fn(cfg, K)
+    state = init_state(cfg, desc_dim=128)
+    n_chunks = len(u8) // CHUNK
+    chunks = [
+        jnp.asarray(u8[i * CHUNK : (i + 1) * CHUNK]) for i in range(n_chunks)
+    ]
+    float(jnp.sum(chunks[-1][:, ::37, ::37]))  # force upload completion
+    state, out0 = run(state, chunks[0])  # warmup (already compiled shapes)
+    float(jnp.sum(out0.T_wc))
+    outs = [out0]
+    t0 = time.perf_counter()
+    for i in range(1, n_chunks):
+        state, out = run(state, chunks[i])
+        outs.append(out)
+    float(jnp.sum(out.T_wc))
+    fps = (n_chunks - 1) * CHUNK / (time.perf_counter() - t0)
+
+    est = np.concatenate([np.asarray(o.T_wc)[:, :3, 3] for o in outs])
+    resets = np.concatenate([np.asarray(o.did_reset) for o in outs])
+    reset_frames = np.nonzero(resets)[0]
+    b0, b1 = blank
+    unexplained = int(
+        ((reset_frames < b0) | (reset_frames > b1 + 4)).sum()
+    )
+    segs = segment_ate(est, gt, resets)
+    return {
+        "fps_long": fps,
+        "long_frames": len(u8),
+        "long_resets": int(resets.sum()),
+        "long_unexplained_resets": unexplained,
+        "long_segment_ate_max": (
+            max(a for _, _, a in segs) if segs else None
+        ),
+        "long_segments": len(segs),
+    }
 
 
 def _emit(stage: str, **kv):
@@ -302,6 +371,11 @@ def _measure_tpu():
     ba_ms = bench_ba_solve_ms()
     _emit("ba", ba_ms=ba_ms)
 
+    # long-sequence health (VERDICT r2 item 6): same compiled programs
+    # as the main pipeline (same shapes), so this costs upload + compute
+    # only
+    _emit("long", **bench_long_sequence(cfg))
+
     # learned frontend at the reference's SuperPoint operating point
     # (2048 keypoints, reference: src/config/config.py:15), bf16 backbone
     sp_cfg = _build_superpoint_cfg()
@@ -419,6 +493,19 @@ def main():
         ),
         "ba_solve_ms_20kf_5120lm": (
             round(stages["ba_ms"], 2) if "ba_ms" in stages else None
+        ),
+        "fps_long_seq": (
+            round(stages["fps_long"], 2) if "fps_long" in stages else None
+        ),
+        "long_seq_frames": stages.get("long_frames"),
+        "long_seq_resets": stages.get("long_resets"),
+        "long_seq_unexplained_resets": stages.get(
+            "long_unexplained_resets"
+        ),
+        "long_seq_segment_ate_max": (
+            round(stages["long_segment_ate_max"], 3)
+            if stages.get("long_segment_ate_max") is not None
+            else None
         ),
         "fps_superpoint_2048kps": (
             round(stages["fps_superpoint"], 2)

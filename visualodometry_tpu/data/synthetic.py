@@ -65,8 +65,15 @@ def make_scene(
     K: np.ndarray | None = None,
     depth_range: tuple[float, float] = (5.0, 60.0),
     lateral_range: float = 25.0,
+    turn_profile: np.ndarray | None = None,
 ) -> SyntheticScene:
-    """KITTI-like forward drive with a gentle curve and roadside landmarks."""
+    """KITTI-like forward drive with a gentle curve and roadside landmarks.
+
+    `turn_profile` (num_frames,) overrides the constant `turn_rate` with
+    a per-frame yaw rate (rad per unit distance) — real turns, S-curves,
+    straights — for long-sequence fixtures (reference sequences are
+    thousands of frames with genuine turns, src/main.py:58-64).
+    """
     if K is None:
         if image_size == (1226, 370):
             K = K_DEFAULT
@@ -82,11 +89,12 @@ def make_scene(
     poses = []
     pos = np.zeros(3)
     yaw = 0.0
-    for _ in range(num_frames):
+    for f in range(num_frames):
         poses.append(_yaw_T_wc(pos.copy(), yaw))
         heading = np.array([np.sin(yaw), 0.0, np.cos(yaw)])
         pos = pos + speed * heading
-        yaw += turn_rate * speed
+        rate = turn_rate if turn_profile is None else float(turn_profile[f])
+        yaw += rate * speed
     poses = np.stack(poses)
 
     # landmarks in a tube around the path: anchor to random frames, offset
@@ -386,3 +394,78 @@ def render_image(
             patch[py0 : py0 + yhi - ylo, px0 : px0 + xhi - xlo],
         )
     return img
+
+
+def make_long_corridor_fixture(
+    num_frames: int = 256,
+    image_size: tuple[int, int] = (1226, 370),
+    speed: float = 1.2,
+    seed: int = 7,
+    blank: tuple[int, int] | None = (150, 153),
+):
+    """Long textured-corridor drive with real turns and a blackout event.
+
+    The reference runs thousands-frame KITTI sequences with genuine
+    turns and occasional tracking failure (src/main.py:58-64,
+    vo.py:290-299); the short 32-frame bench fixture exercises neither.
+    This builds a >=128-frame sequence with:
+      - two S-curves (yaw-rate profile, peak ~0.8 deg/frame — above the
+        engine's turn_thresh so the turn-smoothing branch runs) whose
+        lateral drift stays ~4 m inside the corridor walls;
+      - a `blank` window of near-featureless frames that forces a
+        tracking reset and a re-bootstrap (the reference's failure
+        path), so reset-and-recover is exercised end-to-end.
+
+    Returns (u8 frames (F, H, W), gt_positions (F, 3), K, blank).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(num_frames, dtype=np.float64)
+    rate = 0.012 * np.sin(2.0 * np.pi * t / 96.0) * (t > 32)
+    scene = make_scene(
+        rng,
+        num_frames=num_frames,
+        speed=speed,
+        num_landmarks=2,  # textured renderer ignores point landmarks
+        image_size=image_size,
+        turn_profile=rate,
+    )
+    W, H = image_size
+    frames = np.empty((num_frames, H, W), np.uint8)
+    for f in range(num_frames):
+        img = render_textured_image(scene, f)
+        frames[f] = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if blank is not None:
+        b0, b1 = blank
+        flat = 90.0 + 2.0 * rng.standard_normal((b1 - b0, H, W))
+        frames[b0:b1] = np.clip(flat, 0, 255).astype(np.uint8)
+    return frames, scene.gt_positions, scene.K, blank
+
+
+def segment_ate(
+    est: np.ndarray,
+    gt: np.ndarray,
+    resets: np.ndarray,
+    warmup: int = 8,
+    min_len: int = 24,
+):
+    """Per-tracked-segment sim3 ATE around reset events.
+
+    After a reset both this engine and the reference re-initialize the
+    trajectory at the origin (reference vo.py:290-299 + 104-110), so a
+    whole-sequence ATE across a reset is meaningless for either; the
+    honest health metric is the ATE of each continuously-tracked
+    segment, sim3-aligned independently. Returns a list of
+    (start, end, ate) for segments at least `min_len` long, skipping
+    `warmup` frames after each (re)start.
+    """
+    from visualodometry_tpu.eval import ate_rmse
+
+    cuts = [0] + [int(i) + 1 for i in np.nonzero(resets)[0]] + [len(est)]
+    out = []
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        s2 = s + warmup
+        if e - s2 >= min_len:
+            out.append(
+                (s, e, float(ate_rmse(est[s2:e], gt[s2:e], align="sim3")))
+            )
+    return out

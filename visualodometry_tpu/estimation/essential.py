@@ -266,6 +266,18 @@ def estimate_essential_ransac(
         )
         pick = jnp.argmin(cost)
         E = E_ref[pick]
+        # Huber-IRLS polish over ALL valid correspondences: like the PnP
+        # solver's final refinement, a continuous robust objective makes
+        # the estimate a property of the data rather than of which
+        # borderline points the winning sample happened to capture —
+        # RANSAC-seed variance at initialization feeds the whole map.
+        for _ in range(2):
+            d2_e = _sampson_sq(E[None], x0, x1)[0]
+            w_h = (
+                jnp.minimum(1.0, thresh_sq / jnp.maximum(d2_e, 1e-18))
+                ** 0.5
+            ) * valid
+            E = refine_essential_manifold(E, x0, x1, w_h)
     else:
         E = _solve_e_from_rows(rows_all, best_inliers.astype(rows_all.dtype))
     final_d2 = _sampson_sq(E, x0, x1)

@@ -203,31 +203,35 @@ def solve_pnp_ransac(
     counts = jnp.sum(inlier_mat, axis=1)
     best = jnp.argmax(counts)
 
-    # LO-RANSAC-style local optimization: refine on the current inlier
-    # set, re-estimate inliers at the refined pose, repeat. cv2's
-    # solvePnPRansac ends with an LM refinement over the consensus set;
-    # a single fixed GN pass on the FIRST inlier estimate measurably
-    # under-converges (stage-ablation vs the cv2 loop: ATE 0.041 vs
-    # 0.011 on the bench fixture with rounds=1). Each extra round costs
-    # a handful of (N, 6) contractions — noise next to the hypothesis
-    # scoring — and each round keeps the refined pose only if it does
-    # not lose inliers.
+    # Robust local optimization: Huber-IRLS over ALL valid
+    # correspondences, initialized from the best hypothesis. A
+    # hard-inlier LO loop (refine on the consensus set, re-threshold,
+    # repeat) has many near-tied fixpoints when a sizable fraction of
+    # points sits near the threshold — which seed reaches which is
+    # decided by RANSAC sampling, measured as a 40-57 mm translation
+    # scatter across seeds on a 250-point problem where
+    # cv2.solvePnPRansac is deterministic. The Huber objective is
+    # continuous in the residuals, so its optimum is a property of the
+    # DATA; IRLS rounds re-derive weights at the refined pose and
+    # converge to it from any decent hypothesis.
     T_out = make_T(R_h[best], t_h[best])
-    inliers_out = inlier_mat[best]
-    num_out = counts[best].astype(jnp.int32)
+    delta = jnp.asarray(cfg.pnp_reproj_err, pts3d.dtype)  # Huber knee (px)
     for _ in range(max(1, cfg.pnp_refine_rounds)):
-        w = inliers_out.astype(pts3d.dtype)
-        T_ref = refine_pose_gn(T_out, pts3d, uv, w, K, cfg.pnp_refine_iters)
-        err_sq_f, z_f = _reproj_err_sq(
-            T_ref[:3, :3], T_ref[:3, 3], pts3d, uv, K
+        err_sq_r, z_r = _reproj_err_sq(
+            T_out[:3, :3], T_out[:3, 3], pts3d, uv, K
         )
-        inliers_f = (err_sq_f < thresh_sq) & (z_f > 0) & valid
-        num_f = jnp.sum(inliers_f).astype(jnp.int32)
-        # keep the unrefined pose if the polish diverged (lost inliers)
-        keep_refined = num_f >= num_out
-        T_out = jnp.where(keep_refined, T_ref, T_out)
-        inliers_out = jnp.where(keep_refined, inliers_f, inliers_out)
-        num_out = jnp.maximum(num_f, num_out).astype(jnp.int32)
+        r = jnp.sqrt(jnp.maximum(err_sq_r, 1e-12))
+        w = jnp.minimum(1.0, delta / r) * valid * (z_r > 0)
+        T_out = refine_pose_gn(T_out, pts3d, uv, w, K, cfg.pnp_refine_iters)
+
+    err_sq_f, z_f = _reproj_err_sq(T_out[:3, :3], T_out[:3, 3], pts3d, uv, K)
+    inliers_f = (err_sq_f < thresh_sq) & (z_f > 0) & valid
+    num_f = jnp.sum(inliers_f).astype(jnp.int32)
+    # fall back to the raw winning hypothesis if the polish diverged
+    keep_refined = num_f >= counts[best]
+    T_out = jnp.where(keep_refined, T_out, make_T(R_h[best], t_h[best]))
+    inliers_out = jnp.where(keep_refined, inliers_f, inlier_mat[best])
+    num_out = jnp.maximum(num_f, counts[best]).astype(jnp.int32)
 
     ok = num_out >= 6
     return PnPResult(T_cw=T_out, inliers=inliers_out, num_inliers=num_out, ok=ok)
