@@ -215,23 +215,43 @@ def solve_pnp_ransac(
     # DATA; IRLS rounds re-derive weights at the refined pose and
     # converge to it from any decent hypothesis.
     T_out = make_T(R_h[best], t_h[best])
-    delta = jnp.asarray(cfg.pnp_reproj_err, pts3d.dtype)  # Huber knee (px)
+    # Truncated-Huber weights: w = min(1, delta/r) inside 3*delta, zero
+    # beyond. Pure Huber's heavy tail drags the pose toward
+    # stale/drifted map landmarks on long sequences (segment ATE 2.9 ->
+    # 11 on the 256-frame fixture); a fully redescending Tukey weight
+    # reintroduces basin sensitivity to the RANSAC seed (measured 0.127
+    # on a seed that Huber tracked at 0.013). Truncation keeps the
+    # smooth near-threshold behavior that makes the optimum
+    # data-determined while bounding far-outlier influence at zero.
+    delta = jnp.asarray(cfg.pnp_reproj_err, pts3d.dtype)
+    cut_sq = (3.0 * cfg.pnp_reproj_err) ** 2
     for _ in range(max(1, cfg.pnp_refine_rounds)):
         err_sq_r, z_r = _reproj_err_sq(
             T_out[:3, :3], T_out[:3, 3], pts3d, uv, K
         )
         r = jnp.sqrt(jnp.maximum(err_sq_r, 1e-12))
-        w = jnp.minimum(1.0, delta / r) * valid * (z_r > 0)
+        w = (
+            jnp.minimum(1.0, delta / r)
+            * (err_sq_r < cut_sq)
+            * valid
+            * (z_r > 0)
+        )
         T_out = refine_pose_gn(T_out, pts3d, uv, w, K, cfg.pnp_refine_iters)
 
     err_sq_f, z_f = _reproj_err_sq(T_out[:3, :3], T_out[:3, 3], pts3d, uv, K)
     inliers_f = (err_sq_f < thresh_sq) & (z_f > 0) & valid
     num_f = jnp.sum(inliers_f).astype(jnp.int32)
-    # fall back to the raw winning hypothesis if the polish diverged
-    keep_refined = num_f >= counts[best]
+    # Safety fallback judged by truncated-MSAC cost (the objective the
+    # IRLS optimizes), NOT inlier count: a count criterion discards the
+    # refined pose whenever it trades a borderline inlier for geometric
+    # accuracy, re-injecting hypothesis noise (see essential.py).
+    cost_ref = jnp.sum(jnp.minimum(err_sq_f, thresh_sq) * valid)
+    err_sq_0, _ = _reproj_err_sq(R_h[best], t_h[best], pts3d, uv, K)
+    cost_raw = jnp.sum(jnp.minimum(err_sq_0, thresh_sq) * valid)
+    keep_refined = cost_ref <= cost_raw
     T_out = jnp.where(keep_refined, T_out, make_T(R_h[best], t_h[best]))
     inliers_out = jnp.where(keep_refined, inliers_f, inlier_mat[best])
-    num_out = jnp.maximum(num_f, counts[best]).astype(jnp.int32)
+    num_out = jnp.where(keep_refined, num_f, counts[best]).astype(jnp.int32)
 
     ok = num_out >= 6
     return PnPResult(T_cw=T_out, inliers=inliers_out, num_inliers=num_out, ok=ok)
