@@ -135,7 +135,15 @@ def make_ba_chunk_fn(cfg: VOConfig, K):
                 num_landmarks=cfg.ba_max_landmarks,
             )
             solved = ba_solve(
-                prob, iters=cfg.ba_iters, damping=cfg.ba_damping
+                prob,
+                iters=cfg.ba_iters,
+                damping=cfg.ba_damping,
+                # radial scale-gauge prior: required for pose correction
+                # (see VOConfig.ba_pose_correction); harmless for
+                # structure-only write-back
+                scale_prior_rel=(
+                    cfg.ba_scale_prior_rel if cfg.ba_pose_correction else 0.0
+                ),
             )
             # Refined landmarks feed subsequent PnP tracking (measured:
             # raises tracked-inlier counts).
@@ -155,12 +163,15 @@ def make_ba_chunk_fn(cfg: VOConfig, K):
             # keyframe, and store the refined poses back into the window
             # so the next solve warm-starts from them.
             T_wc_ref = jax.vmap(se3_inverse)(solved.T_cw)  # (P, 4, 4)
-            delta = T_wc_ref[-1] @ se3_inverse(win.T_wc[-1])
+            # precision-pinned: bf16 4x4 products cost ~0.1 m at scale
+            delta = jnp.matmul(
+                T_wc_ref[-1], se3_inverse(win.T_wc[-1]), precision="highest"
+            )
             state = state._replace(
-                T_wc=delta @ state.T_wc,
-                last_pos=delta[:3, :3] @ state.last_pos + delta[:3, 3],
+                T_wc=jnp.matmul(delta, state.T_wc, precision="highest"),
+                last_pos=jnp.matmul(delta[:3, :3], state.last_pos, precision="highest") + delta[:3, 3],
                 keyframe=state.keyframe._replace(
-                    T_wc=delta @ state.keyframe.T_wc
+                    T_wc=jnp.matmul(delta, state.keyframe.T_wc, precision="highest")
                 ),
             )
             return state, win._replace(T_wc=T_wc_ref), delta

@@ -242,12 +242,79 @@ def apply_updates(
     return T_new, X_new
 
 
+class ScalePrior(NamedTuple):
+    """Radial scale-gauge prior for windowed monocular BA.
+
+    Reprojection cost is nearly flat along the monocular scale
+    direction once the window's structure is deep relative to its
+    baselines; with only the two oldest poses frozen, the solve can
+    slide the NEWEST pose ~1 m radially while reducing reprojection
+    cost by fractions of a px^2 (measured round 2 — the reason
+    ba_pose_correction defaulted off). This prior pins each free pose's
+    DISTANCE from the gauge pose to its pre-solve value with relative
+    sigma `rel`: a residual (||c_p - c_0|| - d0_p) / (rel * d0_p) per
+    pose, purely radial, so genuine lateral/rotational corrections are
+    untouched.
+    """
+
+    d0: jnp.ndarray  # (P,) pre-solve distances ||c_p - c_0||
+    inv_sigma: jnp.ndarray  # (P,) 1/(rel*d0), 0 for fixed/degenerate
+
+
+def make_scale_prior(
+    T: jnp.ndarray, rel: float, fixed_poses: int = 2
+) -> ScalePrior:
+    """Build the prior anchored at the pre-solve pose configuration."""
+    c = -jnp.einsum(
+        "pji,pj->pi", T[:, :3, :3], T[:, :3, 3], precision="highest"
+    )  # (P, 3) camera centers
+    d0 = jnp.linalg.norm(c - c[0], axis=-1)
+    p_idx = jnp.arange(T.shape[0])
+    ok = (p_idx >= fixed_poses) & (d0 > 1e-6)
+    inv_sigma = jnp.where(ok, 1.0 / (rel * jnp.maximum(d0, 1e-6)), 0.0)
+    return ScalePrior(d0=d0, inv_sigma=inv_sigma)
+
+
+def scale_prior_terms(
+    T: jnp.ndarray, prior: ScalePrior
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(dU (P, 3, 3), dg (P, 3)) Gauss-Newton terms of the prior.
+
+    With the solver's update T <- exp(-delta) T, a pose center moves
+    c_new ~ c + R^T rho (rotation drops to first order), so the
+    residual s = (||c_p - c_0|| - d0) * inv_sigma linearizes as
+    s - A_s delta with A_s = -[(R u)^T, 0] * inv_sigma. Contributions
+    follow the same normal-equation convention as the reprojection
+    terms: U += A_s^T A_s, g += A_s^T s.
+    """
+    R = T[:, :3, :3]
+    c = -jnp.einsum("pji,pj->pi", R, T[:, :3, 3], precision="highest")
+    dvec = c - c[0]
+    d = jnp.linalg.norm(dvec, axis=-1)
+    u = dvec / jnp.maximum(d, 1e-9)[:, None]
+    Ru = jnp.einsum("pij,pj->pi", R, u, precision="highest")  # (P, 3)
+    s = (d - prior.d0) * prior.inv_sigma
+    J = Ru * prior.inv_sigma[:, None]  # = -A_s[:, :3]
+    dU = jnp.einsum("pa,pb->pab", J, J)
+    dg = -J * s[:, None]
+    return dU, dg
+
+
 def ba_iteration(
-    prob: BAProblem, damping: jnp.ndarray, fixed_poses: int = 2
+    prob: BAProblem,
+    damping: jnp.ndarray,
+    fixed_poses: int = 2,
+    scale_prior: ScalePrior | None = None,
 ) -> BAProblem:
     T, X, uv, mask, K = prob
     contrib = landmark_contributions(T, X, uv, mask, K, damping)
-    delta_pose = reduced_solve(contrib.S, contrib.rhs, damping, fixed_poses)
+    S, rhs = contrib.S, contrib.rhs
+    if scale_prior is not None:
+        dU, dg = scale_prior_terms(T, scale_prior)
+        P = T.shape[0]
+        S = S.at[jnp.arange(P), jnp.arange(P), :3, :3].add(dU)
+        rhs = rhs.at[:, :3].add(dg)
+    delta_pose = reduced_solve(S, rhs, damping, fixed_poses)
     T_new, X_new = apply_updates(T, X, delta_pose, contrib)
     return BAProblem(T_cw=T_new, X=X_new, uv=uv, mask=mask, K=K)
 
@@ -264,11 +331,25 @@ def ba_solve(
     iters: int = 8,
     damping: float = 1e-3,
     fixed_poses: int = 2,
+    scale_prior_rel: float = 0.0,
 ) -> BAProblem:
-    """Run a fixed number of damped GN iterations (static shape)."""
+    """Run a fixed number of damped GN iterations (static shape).
+
+    scale_prior_rel > 0 adds the radial ScalePrior (see its docstring)
+    anchored at the entry pose configuration — required for
+    pose-correcting windowed monocular BA, where the scale direction is
+    weakly observable.
+    """
     damping = jnp.asarray(damping, prob.X.dtype)
+    prior = (
+        make_scale_prior(prob.T_cw, scale_prior_rel, fixed_poses)
+        if scale_prior_rel > 0.0
+        else None
+    )
 
     def body(_, p):
-        return ba_iteration(p, damping, fixed_poses=fixed_poses)
+        return ba_iteration(
+            p, damping, fixed_poses=fixed_poses, scale_prior=prior
+        )
 
     return jax.lax.fori_loop(0, iters, body, prob)

@@ -123,14 +123,17 @@ class VOConfig:
     ba_iters: int = 8
     ba_damping: float = 1e-3
     # propagate the newest window keyframe's BA pose correction into the
-    # live tracking pose between chunks (ba/inloop.py). Off by default:
-    # on short windows over deep scenes the monocular scale direction is
-    # weakly observable and the solve slides metres along it while
-    # reducing reprojection cost (measured: window cost 0.37 -> 0.05 px^2
-    # but newest pose moved ~0.9 m and fixture ATE doubled), so the
-    # default ships the reference-grade structure-only write-back and
-    # pose propagation is opt-in for better-conditioned windows.
+    # live tracking pose between chunks (ba/inloop.py). On short windows
+    # over deep scenes the monocular scale direction is weakly
+    # observable and an unconstrained solve slides metres along it while
+    # reducing reprojection cost fractions of a px^2 (measured round 2:
+    # window cost 0.37 -> 0.05 px^2, newest pose moved ~0.9 m, fixture
+    # ATE doubled); ba_scale_prior_rel adds a radial prior pinning each
+    # free pose's distance-from-gauge to its tracked value within the
+    # given relative sigma (ba/solver.py:ScalePrior), which removes the
+    # slide while leaving lateral/rotational corrections free.
     ba_pose_correction: bool = False
+    ba_scale_prior_rel: float = 0.02
 
     @property
     def padded_keypoints(self) -> int:

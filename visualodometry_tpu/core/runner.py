@@ -122,5 +122,9 @@ def apply_pose_delta(outs: StepOutput, delta: jnp.ndarray) -> StepOutput:
     )
     mask = (idx >= last_kf)[:, None, None]
     return outs._replace(
-        T_wc=jnp.where(mask, delta[None] @ outs.T_wc, outs.T_wc)
+        T_wc=jnp.where(
+            mask,
+            jnp.matmul(delta[None], outs.T_wc, precision="highest"),
+            outs.T_wc,
+        )
     )

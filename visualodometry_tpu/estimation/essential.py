@@ -94,7 +94,7 @@ def _essential_from_rt(w: jnp.ndarray, R0: jnp.ndarray, tvec: jnp.ndarray) -> jn
     """E = [t]x (exp(w) R0) with t the (unnormalized) translation."""
     from visualodometry_tpu.geometry.so3 import so3_exp
 
-    R = so3_exp(w) @ R0
+    R = jnp.matmul(so3_exp(w), R0, precision="highest")
     tx = jnp.array(
         [
             [0.0, -tvec[2], tvec[1]],
@@ -103,7 +103,7 @@ def _essential_from_rt(w: jnp.ndarray, R0: jnp.ndarray, tvec: jnp.ndarray) -> jn
         ],
         dtype=R.dtype,
     )
-    return tx @ R
+    return jnp.matmul(tx, R, precision="highest")
 
 
 def refine_essential_manifold(
@@ -131,7 +131,7 @@ def refine_essential_manifold(
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
-    R0 = U @ W @ Vt
+    R0 = jnp.matmul(jnp.matmul(U, W, precision="highest"), Vt, precision="highest")
     t0 = U[:, 2]
 
     ones = jnp.ones_like(x0[..., :1])
@@ -146,8 +146,8 @@ def refine_essential_manifold(
         t = t0 + params[3] * b1 + params[4] * b2
         t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
         Em = _essential_from_rt(w_rot, R0, t)
-        Ex0 = X0 @ Em.T
-        Etx1 = X1 @ Em
+        Ex0 = jnp.matmul(X0, Em.T, precision="highest")
+        Etx1 = jnp.matmul(X1, Em, precision="highest")
         num = jnp.sum(X1 * Ex0, axis=-1)
         den = jnp.sqrt(
             jnp.maximum(
@@ -169,7 +169,7 @@ def refine_essential_manifold(
         # re-center the parametrization at the refined pose
         from visualodometry_tpu.geometry.so3 import so3_exp
 
-        R_new = so3_exp(delta[:3]) @ R0
+        R_new = jnp.matmul(so3_exp(delta[:3]), R0, precision="highest")
         b1 = _any_unit_orthogonal(t0)
         b2 = jnp.cross(t0, b1)
         t_new = t0 + delta[3] * b1 + delta[4] * b2

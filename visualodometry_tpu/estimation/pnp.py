@@ -145,7 +145,10 @@ def refine_pose_gn(
         b = jnp.einsum("nik,ni->nk", J * w, r, precision="highest").sum(0)
         H = H + damping * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6, dtype=T.dtype)
         delta = solve_psd_small(H, b)
-        return se3_exp(-delta) @ T
+        # bf16 default-precision pose composition costs ~1e-3
+        # relative error on TPU (0.1 m at KITTI global scale) —
+        # pin every small-matrix product in the pose chain
+        return jnp.matmul(se3_exp(-delta), T, precision="highest")
 
     return jax.lax.fori_loop(0, iters, body, T_cw)
 
@@ -225,7 +228,7 @@ def solve_pnp_ransac(
     # data-determined while bounding far-outlier influence at zero.
     delta = jnp.asarray(cfg.pnp_reproj_err, pts3d.dtype)
     cut_sq = (3.0 * cfg.pnp_reproj_err) ** 2
-    for _ in range(max(1, cfg.pnp_refine_rounds)):
+    for rnd in range(max(1, cfg.pnp_refine_rounds)):
         err_sq_r, z_r = _reproj_err_sq(
             T_out[:3, :3], T_out[:3, 3], pts3d, uv, K
         )
@@ -236,7 +239,14 @@ def solve_pnp_ransac(
             * valid
             * (z_r > 0)
         )
-        T_out = refine_pose_gn(T_out, pts3d, uv, w, K, cfg.pnp_refine_iters)
+        # full iteration budget only for the cold start from the raw
+        # DLT hypothesis; later rounds only re-weight an already
+        # converged pose (GN re-converges in a few steps), and the GN
+        # chain is serial latency on TPU — iterations are wall time
+        iters = cfg.pnp_refine_iters if rnd == 0 else max(
+            3, cfg.pnp_refine_iters // 3
+        )
+        T_out = refine_pose_gn(T_out, pts3d, uv, w, K, iters)
 
     err_sq_f, z_f = _reproj_err_sq(T_out[:3, :3], T_out[:3, 3], pts3d, uv, K)
     inliers_f = (err_sq_f < thresh_sq) & (z_f > 0) & valid

@@ -73,14 +73,14 @@ def triangulate_points(
     this fix). cv2 escapes only because it solves in float64.
     """
     # camera centers; b = baseline length (the conditioning scale)
-    c1 = -jnp.matmul(T_cw1[:3, :3].T, T_cw1[:3, 3])
-    c2 = -jnp.matmul(T_cw2[:3, :3].T, T_cw2[:3, 3])
+    c1 = -jnp.matmul(T_cw1[:3, :3].T, T_cw1[:3, 3], precision="highest")
+    c2 = -jnp.matmul(T_cw2[:3, :3].T, T_cw2[:3, 3], precision="highest")
     b = jnp.maximum(jnp.linalg.norm(c1 - c2), 1e-9)
     # world' = (world - c2) / b; camera coords divide by b too, which is
     # projectively invisible: T'_cw = [R, (R c2 + t) / b]
     def _cond(T_cw):
         Rt = T_cw[:3, :]
-        t_new = (jnp.matmul(Rt[:, :3], c2) + Rt[:, 3]) / b
+        t_new = (jnp.matmul(Rt[:, :3], c2, precision="highest") + Rt[:, 3]) / b
         return jnp.concatenate([Rt[:, :3], t_new[:, None]], axis=1)
 
     P1 = jnp.matmul(K, _cond(T_cw1), precision="highest")
