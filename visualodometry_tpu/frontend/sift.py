@@ -41,10 +41,13 @@ _NUM_BINS = 36
 _DESC_GRID = 4  # 4x4 spatial bins
 _DESC_BINS = 8  # orientation bins
 _SAMPLES = 16  # 16x16 descriptor sample grid
-_ORI_SAMPLES = 16  # 16x16 orientation sample grid. Fewer taps (12x12,
-# 8x8) are measurably faster but the orientation jitter they introduce
-# costs tracking resets on the e2e scenarios — keep parity with the
-# descriptor grid.
+_ORI_SAMPLES = 12  # 12x12 orientation sample grid. The 16x16 grid's
+# extra taps cost ~0.8 ms/frame in the (bandwidth/utilization-bound)
+# patch-selection contractions; at 12x12 the histogram is still built
+# from 144 Gaussian-weighted samples and the e2e fixture ATE and
+# cv2-comparison metrics are unchanged (re-validated round 3 with the
+# robust IRLS estimators — the round-1 sensitivity came from the
+# then-fragile RANSAC refinement, not the histogram).
 
 
 class OctaveKeypoints(NamedTuple):
@@ -421,11 +424,19 @@ def _make_patch_sampler(
         xi = jnp.clip(xi_abs - x0[:, None], 0, Px - 1)
         yi = jnp.clip(yi_abs - y0[:, None], 0, Py - 1)
         hy = (yi[..., None] == iota_y).astype(patches.dtype)  # (K, M, Py)
+        # keep the big (K, M, C*Px) intermediate in bf16: one-hot
+        # selection has exactly one nonzero term per output, so bf16
+        # accumulation is EXACT for bf16 patch values while halving the
+        # dominant HBM traffic of the whole sampling stage (this
+        # intermediate is ~270 MB/octave in f32 at the bench operating
+        # point — the stage is bandwidth-bound, measured in RESULTS.md)
         t1 = jnp.einsum(
-            "kmy,kyq->kmq", hy, patcht, preferred_element_type=jnp.float32
-        ).reshape(K, -1, C, Px)  # (K, M, 2, Px)
-        hx = (xi[..., None] == iota_x).astype(jnp.float32)  # (K, M, Px)
-        g = jnp.einsum("kmcp,kmp->kmc", t1, hx)
+            "kmy,kyq->kmq", hy, patcht, preferred_element_type=jnp.bfloat16
+        ).reshape(K, -1, C, Px)  # (K, M, 2, Px) bf16
+        hx = (xi[..., None] == iota_x).astype(patches.dtype)  # (K, M, Px)
+        g = jnp.einsum(
+            "kmcp,kmp->kmc", t1, hx, preferred_element_type=jnp.float32
+        )
         return g[..., 0], g[..., 1]
 
     return sample
