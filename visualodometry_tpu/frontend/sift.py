@@ -219,7 +219,17 @@ def detect_octave(
     cand, score = _extrema_mask(dogs, thr, cfg.sift_edge_threshold)
     Sc, H, W = score.shape
     flat = jnp.where(cand, score, -1.0).reshape(-1)
-    top_scores, top_idx = _topk_hier(flat, k_octave)
+    if jax.default_backend() == "tpu":
+        # hardware-binned approximate top-k (exact-equivalent whenever
+        # the candidate count is under the budget, which covers every
+        # operating point measured — candidates are strict 3x3x3
+        # extrema; only the marginal tail can differ when
+        # oversubscribed, where OpenCV's response truncation is equally
+        # arbitrary). 0.7 ms/frame cheaper than the hierarchical
+        # sort-based top-k at 1226x370 (scripts/profile_extract_stages).
+        top_scores, top_idx = lax.approx_max_k(flat, k_octave)
+    else:
+        top_scores, top_idx = _topk_hier(flat, k_octave)
     valid = top_scores > 0
     s_idx = top_idx // (H * W) + 1  # DoG layer in [1, S]
     rem = top_idx % (H * W)
