@@ -41,13 +41,13 @@ _NUM_BINS = 36
 _DESC_GRID = 4  # 4x4 spatial bins
 _DESC_BINS = 8  # orientation bins
 _SAMPLES = 16  # 16x16 descriptor sample grid
-_ORI_SAMPLES = 12  # 12x12 orientation sample grid. The 16x16 grid's
-# extra taps cost ~0.8 ms/frame in the (bandwidth/utilization-bound)
-# patch-selection contractions; at 12x12 the histogram is still built
-# from 144 Gaussian-weighted samples and the e2e fixture ATE and
-# cv2-comparison metrics are unchanged (re-validated round 3 with the
-# robust IRLS estimators — the round-1 sensitivity came from the
-# then-fragile RANSAC refinement, not the histogram).
+_ORI_SAMPLES = 16  # 16x16 orientation sample grid. A 12x12 grid is
+# ~0.5 ms/frame cheaper and looks harmless on the short bench fixture
+# (seed-level ATE even improves), but orientation jitter under real
+# yaw is cumulative: the 256-frame S-curve fixture's pre-blackout
+# drift DOUBLES at 12x12 (sim3 ATE 7.7 -> 15.0, r3 measurement) —
+# descriptor rotation-invariance needs the precise histogram during
+# turns. Keep parity with the descriptor grid.
 
 
 class OctaveKeypoints(NamedTuple):
