@@ -449,6 +449,35 @@ def _make_patch_sampler(
         )
         return g[..., 0], g[..., 1]
 
+    def sample_separable(xs_col: jnp.ndarray, ys_row: jnp.ndarray):
+        """Taps on a SEPARABLE (axis-aligned) grid: xs_col (K, Mx)
+        column coordinates x ys_row (K, My) row coordinates.
+
+        The orientation stage's sample grid is un-rotated, so its row
+        choice is shared across each grid row and the column choice
+        across each grid column: the selection work drops from
+        My*Mx one-hot rows to My + Mx (~16x at the 16x16 grid), with
+        values BIT-IDENTICAL to sample() on the outer-product grid
+        (same per-axis round+clip, same one-hot selection of bf16).
+        Returns (gx, gy), each (K, My*Mx) flattened row-major (y outer,
+        x inner) — the meshgrid order the histogram weights use.
+        """
+        xi_abs = jnp.clip(jnp.round(xs_col), 0.0, W - 1.0).astype(jnp.int32)
+        yi_abs = jnp.clip(jnp.round(ys_row), 0.0, H - 1.0).astype(jnp.int32)
+        xi = jnp.clip(xi_abs - x0[:, None], 0, Px - 1)  # (K, Mx)
+        yi = jnp.clip(yi_abs - y0[:, None], 0, Py - 1)  # (K, My)
+        hy = (yi[..., None] == iota_y).astype(patches.dtype)  # (K, My, Py)
+        rows = jnp.einsum(
+            "kry,kyq->krq", hy, patcht, preferred_element_type=jnp.bfloat16
+        ).reshape(K, -1, C, Px)  # (K, My, 2, Px)
+        hx = (xi[..., None] == iota_x).astype(patches.dtype)  # (K, Mx, Px)
+        g = jnp.einsum(
+            "krcp,kxp->krxc", rows, hx, preferred_element_type=jnp.float32
+        )  # (K, My, Mx, 2)
+        g = g.reshape(K, -1, C)
+        return g[..., 0], g[..., 1]
+
+    sample.separable = sample_separable
     return sample
 
 
@@ -496,7 +525,15 @@ def orientation_histogram(
     xs = kps.xy[:, 0:1] + radius[:, None] * du[None, :]  # (K, 256)
     ys = kps.xy[:, 1:2] + radius[:, None] * dv[None, :]
 
-    if sampler is not None:
+    if sampler is not None and hasattr(sampler, "separable"):
+        # the orientation grid is axis-aligned: per-axis selection
+        # (separable one-hots) produces bit-identical taps at ~1/M the
+        # selection cost (see _make_patch_sampler.sample_separable)
+        gxs, gys = sampler.separable(
+            kps.xy[:, 0:1] + radius[:, None] * lin[None, :],
+            kps.xy[:, 1:2] + radius[:, None] * lin[None, :],
+        )
+    elif sampler is not None:
         gxs, gys = sampler(xs, ys)
     else:
         lvl = jnp.clip(kps.scale_idx, 0, S_levels - 1)
