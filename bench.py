@@ -392,6 +392,19 @@ def _measure_tpu():
         superpoint_ate_sim3_m=sp_health["ate_sim3_m"],
     )
 
+    # learned matcher (LightGlue-class attention, real-SIFT-trained
+    # weights) at the full 4096-slot deployment operating point —
+    # VERDICT r2 item 5. Last stage: its transformer compile must not
+    # starve the stages above if the tunnel is slow.
+    at_cfg = _build_cfg().replace(matcher_type="attention")
+    fps_at, at_health = bench_tpu_pipeline(u8, gt, K, at_cfg)
+    _emit(
+        "attention",
+        fps_attention=fps_at,
+        attention_resets=at_health["resets"],
+        attention_ate_sim3_m=at_health["ate_sim3_m"],
+    )
+
 
 def _run_child(timeout_s: float) -> dict:
     """Run --tpu-only, return merged stage dict (possibly partial)."""
@@ -521,6 +534,16 @@ def main():
         "superpoint_ate_sim3_m": (
             round(stages["superpoint_ate_sim3_m"], 3)
             if "superpoint_ate_sim3_m" in stages
+            else None
+        ),
+        "fps_attention_4096slots": (
+            round(stages["fps_attention"], 2)
+            if "fps_attention" in stages
+            else None
+        ),
+        "attention_ate_sim3_m": (
+            round(stages["attention_ate_sim3_m"], 3)
+            if "attention_ate_sim3_m" in stages
             else None
         ),
         "note": (
