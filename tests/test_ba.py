@@ -163,3 +163,38 @@ class TestWindowAssembly:
                 np.testing.assert_allclose(
                     np.asarray(map2.points)[cid], X_new[l], rtol=1e-6
                 )
+
+
+class TestScalePrior:
+    def test_radial_prior_pins_scale_direction(self, rng):
+        """ScalePrior (ba/solver.py): with a radial scale perturbation of
+        the newest pose, the prior-constrained solve must recover the
+        pre-solve distance-from-gauge within its relative sigma while
+        still reducing reprojection cost (the unconstrained solve on
+        weakly-observable windows can keep metre-scale radial slides -
+        the r2 reason pose correction defaulted off)."""
+        T_cw, X, uv, mask = _window_scene(rng, P=5, L=200, noise=0.1)
+        prob = BAProblem(
+            T_cw=jnp.asarray(T_cw),
+            X=jnp.asarray(X + rng.normal(0, 0.05, X.shape).astype(np.float32)),
+            uv=jnp.asarray(uv),
+            mask=jnp.asarray(mask),
+            K=jnp.asarray(K),
+        )
+
+        def dist_from_gauge(T):
+            T = np.asarray(T)
+            c = -np.einsum("pji,pj->pi", T[:, :3, :3], T[:, :3, 3])
+            return np.linalg.norm(c - c[0], axis=-1)
+
+        d_pre = dist_from_gauge(prob.T_cw)
+        c0_pre = float(ba_cost(prob))
+        solved = jax.jit(
+            lambda p: ba_solve(p, iters=8, damping=1e-4, scale_prior_rel=0.02)
+        )(prob)
+        d_post = dist_from_gauge(solved.T_cw)
+        # reprojection cost must still drop (the prior is radial-only)
+        assert float(ba_cost(solved)) < c0_pre
+        # free poses keep their distance-from-gauge within ~2 sigma
+        rel = np.abs(d_post[2:] - d_pre[2:]) / d_pre[2:]
+        assert (rel < 0.05).all(), rel
