@@ -289,10 +289,10 @@ def bench_extraction_fps(u8, cfg) -> float:
     import jax
     import jax.numpy as jnp
 
-    from visualodometry_tpu.frontend.sift import extract_sift
+    from visualodometry_tpu.frontend.sift import make_batched_extract_fn
 
     ims = jnp.asarray(u8[:CHUNK])
-    vex = jax.jit(lambda b: jax.lax.map(lambda im: extract_sift(im, cfg), b))
+    vex = jax.jit(make_batched_extract_fn(cfg))
     out = vex(ims)
     float(jnp.sum(out.kps))  # compile + settle
     t0 = time.perf_counter()

@@ -63,15 +63,14 @@ def make_chunked_pipeline_fn(
         # the CNN batches well across frames (conv batch dim on the MXU)
         vextract = jax.jit(jax.vmap(sp_extract))
     else:
-        from visualodometry_tpu.frontend.sift import extract_sift
+        from visualodometry_tpu.frontend.sift import make_batched_extract_fn
 
-        # SIFT extraction iterates frames with lax.map rather than vmap:
-        # its convolutions and gathers already saturate the chip for ONE
-        # 1226x370 frame, and batching only degrades their layouts
-        # (measured 33.7 -> 23.0 ms/frame at 4096 slots on v5e).
-        vextract = jax.jit(
-            lambda ims: jax.lax.map(lambda im: extract_sift(im, cfg), ims)
-        )
+        # hybrid batching: the pyramid stage vmaps across the chunk
+        # (band matmuls gain a batch axis — 2.4 -> 1.1 ms/frame), the
+        # rest (top-k, patch DMA, per-keypoint contractions) stays a
+        # lax.map over frames, where full-vmap degrades layouts
+        # (measured 33.7 -> 23.0 ms/frame in r1)
+        vextract = jax.jit(make_batched_extract_fn(cfg))
     scan_step = jax.jit(lambda st, fs: jax.lax.scan(step, st, fs))
 
     if not enable_ba:

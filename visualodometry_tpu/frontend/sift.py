@@ -729,6 +729,50 @@ def extract_sift(img: jnp.ndarray, cfg: VOConfig) -> Features:
     gauss, dogs = build_pyramid(
         img, cfg.sift_num_octaves, S, sigma0=cfg.sift_sigma
     )
+    return extract_sift_from_pyramid((tuple(gauss), tuple(dogs)), cfg)
+
+
+def make_batched_extract_fn(cfg: VOConfig):
+    """Chunk extractor: batched pyramids + per-frame detection/sampling.
+
+    The Gaussian/DoG pyramids batch well across frames — the band
+    matmuls get a free batch axis and the per-frame (C, H, W) einsums
+    more than double their MXU occupancy (measured 2.44 -> 1.12
+    ms/frame at 1226x370 x 8 frames on v5e). The rest of the extractor
+    (top-k, patch DMA, per-keypoint contractions) degrades under vmap
+    (r1 measurement), so it stays a lax.map over frames, consuming the
+    prebuilt pyramids.
+    """
+
+    def extract_batch(imgs: jnp.ndarray) -> Features:
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
+        imgs = imgs.astype(jnp.float32)
+        S = cfg.sift_scales_per_octave
+
+        def pyr_one(im):
+            gauss, dogs = build_pyramid(
+                im, cfg.sift_num_octaves, S, sigma0=cfg.sift_sigma
+            )
+            return tuple(gauss), tuple(dogs)
+
+        pyrs = jax.vmap(pyr_one)(imgs)
+        return jax.lax.map(
+            lambda p: extract_sift_from_pyramid(p, cfg), pyrs
+        )
+
+    return extract_batch
+
+
+def extract_sift_from_pyramid(pyr_pair, cfg: VOConfig) -> Features:
+    """Detection + orientation + descriptors over a prebuilt pyramid.
+
+    pyr_pair: (gauss, dogs) tuples over octaves, as built by
+    ops/pyramid.build_pyramid. Split out of extract_sift so chunk
+    runners can batch the pyramid stage across frames
+    (make_batched_extract_fn) while mapping this per-frame stage.
+    """
+    gauss, dogs = pyr_pair
     total = cfg.padded_keypoints
     peaks = getattr(cfg, "sift_orientation_peaks", 1)
     # peak splitting (OpenCV: one keypoint per orientation peak >= 80%
