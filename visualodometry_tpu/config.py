@@ -104,7 +104,9 @@ class VOConfig:
     essential_solver: str = "5point"  # "5point" (Nistér, = cv2.findEssentialMat's
     #                                   algorithm, planar-safe) | "8point"
     pnp_hypotheses: int = 512  # batched DLT-PnP RANSAC hypotheses
-    pnp_refine_iters: int = 10  # damped GN iterations on inliers
+    pnp_refine_iters: int = 8  # damped GN iterations, cold-start round
+    # (later IRLS rounds use a third — warm restarts re-converge fast;
+    # multi-seed fixture ATE unchanged at 8 vs 10, r3)
     # refine -> re-estimate-inliers rounds (LO-RANSAC local optimization;
     # cv2.solvePnPRansac's trailing LM-over-consensus equivalent)
     pnp_refine_rounds: int = 3
