@@ -38,7 +38,7 @@ def scan_time(body, init_carry, label="", iters=ITERS):
 def main():
     from visualodometry_tpu.ba.solver import (
         BAProblem,
-        _residuals_jacobians,
+        _residuals_jacobians_lanes as _residuals_jacobians,
         ba_iteration,
         landmark_contributions,
         reduced_solve,
@@ -95,7 +95,7 @@ def main():
     V0 = jnp.einsum("lij,lkj->lik", V0, V0) + 0.1 * jnp.eye(3)
 
     def vinv_body(V):
-        Vi = jnp.linalg.inv(V)
+        Vi = jnp.linalg.inv(V); Vi = Vi
         return V + jnp.sum(Vi) * 1e-12
 
     scan_time(vinv_body, V0, label="  jnp.linalg.inv (L,3,3)")
@@ -105,11 +105,11 @@ def main():
         prob.T_cw, prob.X, prob.uv, prob.mask, prob.K, damping
     )
     WVinv0 = jax.block_until_ready(
-        jnp.einsum("lpkj,lji->lpki", c0.W, c0.Vinv)
+        jnp.einsum("pkjl,jil->pkil", c0.W, c0.Vinv)
     )
 
     def s_body(wv):
-        S = -jnp.einsum("lpki,lqmi->pqkm", wv, c0.W, precision="highest")
+        S = -jnp.einsum("pkil,qmil->pqkm", wv, c0.W, precision="highest")
         return wv + jnp.sum(S) * 1e-12
 
     scan_time(s_body, WVinv0, label="  S einsum (lpki,lqmi->pqkm)")

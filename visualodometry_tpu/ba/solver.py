@@ -165,13 +165,16 @@ def landmark_contributions(
     w = m.astype(X.dtype)
     rw = r * w[:, None, :]  # (P, 2, L)
 
-    # Σ over (obs index i, landmarks l): batched matmuls with K = 2L
+    # U/g contract over lanes (l) — einsum → MXU is already optimal.
     U = jnp.einsum("pial,pibl->pab", A, A, precision="highest")  # (P,6,6)
-    # per-landmark 3x3 normal blocks: elementwise lane reductions
-    V = jnp.einsum("pial,pibl->abl", B, B, precision="highest")  # (3,3,L)
-    W = jnp.einsum("pial,pibl->pabl", A, B, precision="highest")  # (P,6,3,L)
     g = jnp.einsum("pial,pil->pa", A, rw, precision="highest")  # (P, 6)
-    h = jnp.einsum("pial,pil->al", B, rw, precision="highest")  # (3, L)
+    # V/W/h contract over the TINY (p, i) axes with L in the output —
+    # einsum lowers those to dot_generals with relayouts (2.9 ms/iter
+    # measured at P=20, L=5120); broadcast-multiply-reduce fuses to
+    # single-pass VPU loops with L on lanes (scripts/profile_ba_alt.py)
+    V = jnp.sum(B[:, :, :, None, :] * B[:, :, None, :, :], axis=(0, 1))
+    W = jnp.sum(A[:, :, :, None, :] * B[:, :, None, :, :], axis=1)
+    h = jnp.sum(B * rw[:, :, None, :], axis=(0, 1))
 
     lam = damping + 1e-6
     V = V.at[0, 0].add(lam).at[1, 1].add(lam).at[2, 2].add(lam)
@@ -179,22 +182,28 @@ def landmark_contributions(
     # batched LU on TPU (~7 ms at L=5120 vs ~0 for the adjugate)
     Vinv = _inv3_sym_lanes(V)
 
-    WVinv = jnp.einsum(
-        "pabl,bcl->pacl", W, Vinv, precision="highest"
+    # W V⁻¹ contracts the tiny b axis with L in the OUTPUT: as an einsum
+    # XLA lowers it to a dot_general plus relayouts (1.5 ms measured);
+    # broadcast-multiply-reduce keeps L on lanes and fuses into one VPU
+    # pass (scripts/profile_ba_alt.py)
+    WVinv = jnp.sum(
+        W[:, :, :, None, :] * Vinv[None, None, :, :, :], axis=2
     )  # (P, 6, 3, L)
-    # S_pq[a,b] = -Σ_{c,l} WVinv[p,a,c,l] W[q,b,c,l]: ONE (6P, 3L) x
-    # (6P, 3L)^T MXU matmul — both operands are already (p, a, c, l)
-    # contiguous, so no relayout is needed (dot_general contracts the
-    # fused (c, l) axis directly)
+    # S_pq[a,b] = -Σ_{c,l} WVinv[p,a,c,l] W[q,b,c,l]: 3 clean (6P, L) x
+    # (L, 6P) MXU matmuls (lanes contraction). The single fused-(c, l)
+    # reshape variant forces a tiled-layout relayout of both operands
+    # and measured 1.2 ms vs ~0.1 for the c-sliced form.
     L_loc = W.shape[-1]
-    M1 = WVinv.reshape(P * 6, 3 * L_loc)
-    M2 = W.reshape(P * 6, 3 * L_loc)
-    S = -jax.lax.dot_general(
-        M1, M2, (((1,), (1,)), ((), ())), precision="highest"
-    ).reshape(P, 6, P, 6)
-    S = S.transpose(0, 2, 1, 3)
+    S = jnp.zeros((P * 6, P * 6), X.dtype)
+    for c in range(3):
+        M1 = WVinv[:, :, c, :].reshape(P * 6, L_loc)
+        M2 = W[:, :, c, :].reshape(P * 6, L_loc)
+        S = S - jax.lax.dot_general(
+            M1, M2, (((1,), (1,)), ((), ())), precision="highest"
+        )
+    S = S.reshape(P, 6, P, 6).transpose(0, 2, 1, 3)
     S = S.at[jnp.arange(P), jnp.arange(P)].add(U)
-    rhs = g - jnp.einsum("pacl,cl->pa", WVinv, h, precision="highest")
+    rhs = g - jnp.sum(WVinv * h[None, None, :, :], axis=(2, 3))
 
     return LandmarkContrib(
         S=S, rhs=rhs, Vinv=Vinv, W=W, h=h, seen=jnp.any(m, axis=0)
@@ -232,12 +241,15 @@ def apply_updates(
     T_new = jnp.einsum(
         "pij,pjk->pik", se3_exp(-delta_pose), T, precision="highest"
     )
-    Wt_dp = jnp.einsum(
-        "pabl,pa->bl", contrib.W, delta_pose, precision="highest"
-    )
-    delta_X = jnp.einsum(
-        "abl,bl->al", contrib.Vinv, contrib.h - Wt_dp, precision="highest"
-    )
+    # same tiny-contraction-with-L-in-output pattern as V/W/h: fused
+    # multiply-reduce instead of einsum→dot_general (see
+    # landmark_contributions)
+    Wt_dp = jnp.sum(
+        contrib.W * delta_pose[:, :, None, None], axis=(0, 1)
+    )  # (3, L)
+    delta_X = jnp.sum(
+        contrib.Vinv * (contrib.h - Wt_dp)[None, :, :], axis=1
+    )  # (3, L)
     X_new = jnp.where(contrib.seen[:, None], X - delta_X.T, X)
     return T_new, X_new
 

@@ -74,6 +74,16 @@ class VOConfig:
     min_inliers: int = 10
     init_ransac_prob: float = 0.999
     init_ransac_thresh: float = 1.0  # px, Sampson-distance gate
+    # Initialization-quality gate: the bootstrap pair must register at
+    # least this many triangulated landmarks (post cheirality/reproj/
+    # parallax gates) or initialization WAITS for a later frame.
+    # 0 = reference semantics (src/modules/vo.py:87-117 accepts any
+    # recoverPose result). Guards blackout/turn recovery from locking
+    # onto a shallow map built from a feature-poor re-init pair —
+    # measured on the 256-frame corridor fixture: the engine otherwise
+    # re-initializes at the turn apex with <100 landmarks and tracks
+    # the final segment at metre-class ATE instead of ~0.1 m.
+    min_init_landmarks: int = 0
 
     # -- triangulation & depth (reference: src/config/config.py:31-32) ------
     min_depth: float = 0.001
@@ -104,7 +114,7 @@ class VOConfig:
     essential_solver: str = "5point"  # "5point" (Nistér, = cv2.findEssentialMat's
     #                                   algorithm, planar-safe) | "8point"
     pnp_hypotheses: int = 512  # batched DLT-PnP RANSAC hypotheses
-    pnp_refine_iters: int = 8  # damped GN iterations, cold-start round
+    pnp_refine_iters: int = 10  # damped GN iterations, cold-start round
     # (later IRLS rounds use a third — warm restarts re-converge fast;
     # multi-seed fixture ATE unchanged at 8 vs 10, r3)
     # refine -> re-estimate-inliers rounds (LO-RANSAC local optimization;

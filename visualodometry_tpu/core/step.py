@@ -228,9 +228,11 @@ def make_step_fn(
         curr_ids = curr_ids.at[scatter_to].set(new_ids, mode="drop")
 
         new_kf = features_as_keyframe(feats, curr_ids, state.T_wc)
+        n_new = jnp.sum(tri_valid.astype(jnp.int32))
         return (
             state._replace(map=new_map, keyframe=new_kf, has_keyframe=jnp.asarray(True)),
             curr_ids,
+            n_new,
         )
 
     def _reset(state: VOState, cfg_desc_dim: int) -> VOState:
@@ -314,7 +316,7 @@ def make_step_fn(
                 def on_fail(state):
                     return wait(state)
 
-                def on_ok(state):
+                def on_ok(state0):
                     R, t = recover_pose(ess.E, uv_ref, uv_curr, ess.inliers, K)
                     T_cw = make_T(R, t * cfg.global_scale)
                     T_wc = se3_inverse(T_cw)
@@ -322,25 +324,37 @@ def make_step_fn(
                     # (reference: vo.py:104-110 — last_pos stays at the
                     # origin after init; baseline = distance from origin)
                     init_dist = jnp.linalg.norm(current_pos)
-                    state = state._replace(
+                    state = state0._replace(
                         T_wc=T_wc,
                         last_pos=jnp.zeros(3, jnp.float32),
                         baseline_speed=init_dist,
                         initialized=jnp.asarray(True),
                     )
-                    state, curr_ids = _create_keyframe(
+                    state, curr_ids, n_new = _create_keyframe(
                         state, feats, curr_ids0, match_idx, match_valid
                     )
-                    return state, _output(
-                        state,
-                        n_slots=n,
-                        curr_ids=curr_ids,
-                        match_idx=match_idx,
-                        match_valid=match_valid,
-                        median_flow=median_flow,
-                        num_matches=num_matches,
-                        speed=init_dist,
-                        is_keyframe=True,
+
+                    def commit(state):
+                        return state, _output(
+                            state,
+                            n_slots=n,
+                            curr_ids=curr_ids,
+                            match_idx=match_idx,
+                            match_valid=match_valid,
+                            median_flow=median_flow,
+                            num_matches=num_matches,
+                            speed=init_dist,
+                            is_keyframe=True,
+                        )
+
+                    def reject(_):
+                        # init-quality gate (cfg.min_init_landmarks): the
+                        # bootstrap pair triangulated too few landmarks —
+                        # discard the init and wait for a better pair
+                        return wait(state0)
+
+                    return jax.lax.cond(
+                        n_new >= cfg.min_init_landmarks, commit, reject, state
                     )
 
                 return jax.lax.cond(ess.ok, on_ok, on_fail, state)
@@ -350,8 +364,18 @@ def make_step_fn(
                     median_flow < cfg.min_median_flow, wait, try_init, state
                 )
 
+            # With the init-quality gate on, a pair with fewer matches
+            # than the gate can never pass it — swap the bootstrap
+            # keyframe instead of waiting on a stale one whose match
+            # pool is collapsing (blackout/turn recovery deadlock).
+            # Thresholding at the FULL gate (not a fraction) measured
+            # best on the corridor fixture: a softer threshold holds
+            # decaying pairs that never reach the gate before their
+            # matches collapse, and recovery strands (15.5 m final-
+            # segment ATE vs 0.18 with the full-gate threshold).
+            min_pool = max(cfg.min_inliers, cfg.min_init_landmarks)
             return jax.lax.cond(
-                num_matches < cfg.min_inliers, rebootstrap, init_normal, state
+                num_matches < min_pool, rebootstrap, init_normal, state
             )
 
         # ---------------- tracking ----------------
@@ -464,9 +488,10 @@ def make_step_fn(
 
                     def with_kf(args):
                         state, curr_ids = args
-                        return _create_keyframe(
+                        state, curr_ids, _ = _create_keyframe(
                             state, feats, curr_ids, match_idx, match_valid
                         )
+                        return state, curr_ids
 
                     def without_kf(args):
                         return args
