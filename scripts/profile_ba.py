@@ -95,7 +95,7 @@ def main():
     V0 = jnp.einsum("lij,lkj->lik", V0, V0) + 0.1 * jnp.eye(3)
 
     def vinv_body(V):
-        Vi = jnp.linalg.inv(V); Vi = Vi
+        Vi = jnp.linalg.inv(V)
         return V + jnp.sum(Vi) * 1e-12
 
     scan_time(vinv_body, V0, label="  jnp.linalg.inv (L,3,3)")

@@ -13,6 +13,14 @@ compiles remotely and is benchmarked separately by bench.py).
 
 import os
 
+# Silence XLA's CPU AOT cache-loader ERROR spam: its machine-feature check
+# compares the compile target's feature string (which includes pseudo-
+# features like +prefer-no-scatter) against host CPU detection (which never
+# reports them), so EVERY persistent-cache load "mismatches" — even an
+# entry compiled seconds earlier on this very machine (verified r4). The
+# warning is benign; at one block per cache hit it drowned CI stderr.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 # Read by the CPU client at (lazy) initialization — must be set before the
 # first jax.devices() / computation, which this is.
 flags = os.environ.get("XLA_FLAGS", "")

@@ -67,6 +67,16 @@ class VOConfig:
     # descriptors — models/matcher_data.py); other depths fall back to
     # identity-residual init (= dual-softmax mutual-NN matching).
     attention_depth: int = 4
+    # LightGlue's adaptive-inference mechanisms (the reference's matcher
+    # inherits depth/width confidence pruning from the pinned package,
+    # reference: src/modules/frontend.py:23) — used when the v2
+    # deep-supervision checkpoint is available (models/attention_matcher
+    # .adaptive_match): keep the top-P slots per side after block 0
+    # (0 = no pruning), and skip remaining blocks once this fraction of
+    # points is confident about its assignment (0 = no early exit).
+    attention_prune_to: int = 2048
+    attention_exit_conf: float = 0.95
+    attention_compute: str = "bf16"  # matmul compute dtype: "bf16"|"f32"
     image_size: tuple = (1226, 370)  # (W, H) for kp normalization
 
     # -- initialization & keyframes (reference: src/config/config.py:25-28) -
@@ -114,7 +124,7 @@ class VOConfig:
     essential_solver: str = "5point"  # "5point" (Nistér, = cv2.findEssentialMat's
     #                                   algorithm, planar-safe) | "8point"
     pnp_hypotheses: int = 512  # batched DLT-PnP RANSAC hypotheses
-    pnp_refine_iters: int = 10  # damped GN iterations, cold-start round
+    pnp_refine_iters: int = 8  # damped GN iterations, cold-start round
     # (later IRLS rounds use a third — warm restarts re-converge fast;
     # multi-seed fixture ATE unchanged at 8 vs 10, r3)
     # refine -> re-estimate-inliers rounds (LO-RANSAC local optimization;

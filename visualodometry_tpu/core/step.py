@@ -76,18 +76,27 @@ def make_step_fn(
     K = jnp.asarray(K, jnp.float32)
 
     attention_model = None
+    attention_adaptive = False
     if cfg.matcher_type == "attention":
         from visualodometry_tpu.models.attention_matcher import (
             AttentionMatcher,
         )
 
-        attention_model = AttentionMatcher(depth=cfg.attention_depth)
+        compute_dtype = (
+            jnp.bfloat16 if cfg.attention_compute == "bf16" else jnp.float32
+        )
+        attention_model = AttentionMatcher(
+            depth=cfg.attention_depth, compute_dtype=compute_dtype
+        )
         if matcher_params is None:
             d = 256 if cfg.extractor_type == "superpoint" else 128
             # bundled trained weights when they fit the architecture
-            # (depth 4, 128-D) — the real-SIFT-descriptor recipe
-            # (models/matcher_data.py) supersedes the synthetic one;
-            # else identity-residual init (== dual-softmax mutual-NN
+            # (depth 4, 128-D): prefer the v2 deep-supervision
+            # checkpoint (per-layer heads -> LightGlue-style adaptive
+            # pruning + early exit, models/attention_matcher.py), then
+            # the r3 shared-head one (real-SIFT recipe,
+            # models/matcher_data.py), then the synthetic one; else
+            # identity-residual init (== dual-softmax mutual-NN
             # matching)
             from pathlib import Path
 
@@ -96,6 +105,7 @@ def make_step_fn(
             )
             bundled = None
             for name in (
+                "attention_matcher_sift_v2.pkl",
                 "attention_matcher_sift.pkl",
                 "attention_matcher_synthetic.pkl",
             ):
@@ -120,14 +130,40 @@ def make_step_fn(
                     jnp.zeros((n, d)),
                     jnp.zeros((n,), bool),
                 )
+        # v2 checkpoints carry per-layer confidence heads -> rebuild the
+        # module for them and route through the adaptive inference path
+        if (
+            isinstance(matcher_params, dict)
+            and "confidence0" in matcher_params.get("params", {})
+        ):
+            attention_adaptive = True
+            attention_model = AttentionMatcher(
+                depth=cfg.attention_depth,
+                per_layer_heads=True,
+                compute_dtype=compute_dtype,
+            )
 
     def _match(kf, feats):
         if cfg.matcher_type == "attention":
             from visualodometry_tpu.models.attention_matcher import (
+                adaptive_match,
                 assignment_from_scores,
                 normalize_kps,
             )
 
+            if attention_adaptive:
+                return adaptive_match(
+                    attention_model,
+                    matcher_params,
+                    normalize_kps(kf.kps, cfg.image_size),
+                    kf.desc,
+                    kf.kp_valid,
+                    normalize_kps(feats.kps, cfg.image_size),
+                    feats.desc,
+                    feats.valid,
+                    prune_to=cfg.attention_prune_to,
+                    exit_conf=cfg.attention_exit_conf,
+                )
             sim, m0, m1 = attention_model.apply(
                 matcher_params,
                 normalize_kps(kf.kps, cfg.image_size),
@@ -228,7 +264,10 @@ def make_step_fn(
         curr_ids = curr_ids.at[scatter_to].set(new_ids, mode="drop")
 
         new_kf = features_as_keyframe(feats, curr_ids, state.T_wc)
-        n_new = jnp.sum(tri_valid.astype(jnp.int32))
+        # count actual registrations (new_ids >= 0), not triangulation
+        # survivors — keeps the init-quality gate honest even if the map
+        # registration policy ever starts dropping entries
+        n_new = jnp.sum((new_ids >= 0).astype(jnp.int32))
         return (
             state._replace(map=new_map, keyframe=new_kf, has_keyframe=jnp.asarray(True)),
             curr_ids,

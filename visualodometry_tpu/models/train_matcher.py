@@ -131,6 +131,80 @@ def matcher_loss(params, model: AttentionMatcher, batch: MatchBatch):
     return jnp.mean(losses)
 
 
+def matcher_loss_deep(params, model: AttentionMatcher, batch: MatchBatch):
+    """Deep-supervision loss for the v2 adaptive matcher.
+
+    LightGlue's training recipe shape: every layer's heads predict the
+    assignment (CE) and matchability (BCE), weighted toward the deeper
+    layers; each non-final layer's confidence classifier is trained
+    (BCE) to predict whether the point's CURRENT argmax equals the FINAL
+    layer's argmax — the signal the adaptive inference path
+    (`adaptive_match`) uses for early exit and width pruning.
+    """
+
+    def one(kps0, desc0, v0, kps1, desc1, v1, gt):
+        outs = model.apply(
+            params, kps0, desc0, v0, kps1, desc1, v1, method="all_layers"
+        )
+        L = len(outs)
+
+        def masked(sim):
+            sim = jnp.where(v1[None, :], sim, _NEG)
+            return jnp.where(v0[:, None], sim, _NEG)
+
+        final_sim = masked(outs[-1][0])
+        fin0 = jnp.argmax(final_sim, axis=1)  # (N0,) final row argmax
+        fin1 = jnp.argmax(final_sim, axis=0)  # (N1,)
+        fin0 = jax.lax.stop_gradient(fin0)
+        fin1 = jax.lax.stop_gradient(fin1)
+
+        has_gt = gt >= 0
+        gt_c = jnp.clip(gt, 0, final_sim.shape[1] - 1)
+        target0 = has_gt.astype(jnp.float32)
+
+        def bce(p, t):
+            return -(
+                t * jnp.log(p + 1e-6) + (1 - t) * jnp.log(1 - p + 1e-6)
+            )
+
+        total = 0.0
+        w_sum = 0.0
+        for layer, (sim_raw, m0, m1, c0, c1) in enumerate(outs):
+            w = (layer + 1) / L
+            sim = masked(sim_raw)
+            logp = jax.nn.log_softmax(sim, axis=1)
+            ce = -jnp.take_along_axis(logp, gt_c[:, None], 1)[:, 0]
+            assign = jnp.sum(jnp.where(has_gt, ce, 0.0)) / jnp.maximum(
+                jnp.sum(has_gt), 1
+            )
+            mloss = jnp.sum(jnp.where(v0, bce(m0, target0), 0.0)) / (
+                jnp.maximum(jnp.sum(v0), 1)
+            )
+            total = total + w * (assign + 0.5 * mloss)
+            w_sum = w_sum + w
+            if layer < L - 1:
+                # confidence: does this layer's argmax already agree
+                # with the final layer's? (per point, both sides)
+                agree0 = (
+                    jnp.argmax(sim, axis=1) == fin0
+                ).astype(jnp.float32)
+                agree1 = (
+                    jnp.argmax(sim, axis=0) == fin1
+                ).astype(jnp.float32)
+                closs = (
+                    jnp.sum(jnp.where(v0, bce(c0, agree0), 0.0))
+                    + jnp.sum(jnp.where(v1, bce(c1, agree1), 0.0))
+                ) / jnp.maximum(jnp.sum(v0) + jnp.sum(v1), 1)
+                total = total + 0.25 * closs
+        return total / w_sum
+
+    losses = jax.vmap(one)(
+        batch.kps0, batch.desc0, batch.valid0,
+        batch.kps1, batch.desc1, batch.valid1, batch.gt_idx,
+    )
+    return jnp.mean(losses)
+
+
 def evaluate(params, model, batch: MatchBatch, threshold=0.2):
     """Precision/recall of the assignment on a batch."""
     from visualodometry_tpu.models.attention_matcher import (
