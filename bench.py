@@ -46,9 +46,9 @@ N_SLOTS = 4096
 IMG_SIZE = (1226, 370)
 CHUNK = 8
 N_FRAMES = CHUNK * 4
-N_FRAMES_LONG = 128  # long-health stage: real turns + a blackout reset
+N_FRAMES_LONG = 1024  # marathon stage: 3 S-curve periods, 3 blackouts
 _FIXTURE = "/root/repo/.bench_fixture_textured.npz"
-_FIXTURE_LONG = "/root/repo/.bench_fixture_long.npz"
+_FIXTURE_LONG = "/root/repo/.bench_fixture_marathon.npz"
 _LAST_GOOD = "/root/repo/BENCH_LAST_GOOD.json"
 
 
@@ -153,35 +153,41 @@ def _load_fixture():
 
 
 def _load_fixture_long():
-    """128-frame full-res corridor with S-curves + a 3-frame blackout.
+    """1024-frame full-res marathon: 3 S-curve periods, 3 blackouts.
 
-    Exercises what the 32-frame anchor fixture cannot (VERDICT r2 item
-    6): sustained tracking through real turns, the reset branch, and
-    re-bootstrap — at the KITTI image shape. Blackout at frames 72-75.
+    The reference runs thousands-frame KITTI sequences
+    (src/main.py:58-64); this is the bench's long-horizon stage at the
+    KITTI image shape with KITTI-magnitude inter-frame flows (VERDICT
+    r3 item 7). One-time ray-cast is cached (~4 min).
     """
     if os.path.exists(_FIXTURE_LONG):
         d = np.load(_FIXTURE_LONG, allow_pickle=True)
-        return d["u8"], d["gt"], d["K"], tuple(d["blank"])
-    from visualodometry_tpu.data.synthetic import make_long_corridor_fixture
+        return d["u8"], d["gt"], d["K"], tuple(map(tuple, d["blanks"]))
+    from visualodometry_tpu.data.synthetic import make_marathon_fixture
 
-    u8, gt, K, blank = make_long_corridor_fixture(
-        num_frames=N_FRAMES_LONG, image_size=IMG_SIZE, blank=(72, 75)
+    u8, gt, K, blanks = make_marathon_fixture(
+        num_frames=N_FRAMES_LONG, image_size=IMG_SIZE
     )
     np.savez_compressed(
-        _FIXTURE_LONG, u8=u8, gt=gt, K=K, blank=np.array(blank)
+        _FIXTURE_LONG, u8=u8, gt=gt, K=K, blanks=np.array(blanks)
     )
-    return u8, gt, K, blank
+    return u8, gt, K, blanks
 
 
 def bench_long_sequence(cfg) -> dict:
-    """Long-run health: fps + per-segment ATE + reset accounting."""
+    """Marathon health: fps + per-segment ATE + reset + map-wrap accounting.
+
+    Chunk scheduling is unchanged from the main pipeline (same compiled
+    programs, same shapes). Chunks are uploaded in slices ahead of the
+    run; the timed region covers compute only (the tunnel-upload
+    exclusion documented in bench_tpu_pipeline applies)."""
     import jax.numpy as jnp
 
     from visualodometry_tpu.core import init_state
     from visualodometry_tpu.core.runner import make_chunked_pipeline_fn
     from visualodometry_tpu.data.synthetic import segment_ate
 
-    u8, gt, K, blank = _load_fixture_long()
+    u8, gt, K, blanks = _load_fixture_long()
     run = make_chunked_pipeline_fn(cfg, K)
     state = init_state(cfg, desc_dim=128)
     n_chunks = len(u8) // CHUNK
@@ -202,16 +208,17 @@ def bench_long_sequence(cfg) -> dict:
     est = np.concatenate([np.asarray(o.T_wc)[:, :3, 3] for o in outs])
     resets = np.concatenate([np.asarray(o.did_reset) for o in outs])
     reset_frames = np.nonzero(resets)[0]
-    b0, b1 = blank
-    # resets are explained inside the blackout + turn-recovery window
-    # (the blackout forces re-bootstrap during the fixture's peak yaw
-    # rate; retry resets there are the failure detector working — see
-    # tests/test_long_sequence.py, where the cv2 loop instead tracks a
-    # wrecked map for ~33 m ATE without ever resetting)
-    unexplained = int(
-        ((reset_frames < b0) | (reset_frames > b1 + 45)).sum()
-    )
+    # resets are explained inside a blackout + turn-recovery window
+    # (each blackout forces re-bootstrap; retry resets there are the
+    # failure detector working — see tests/test_long_sequence.py, where
+    # the cv2 loop instead tracks a wrecked map without ever resetting)
+    explained = np.zeros(len(est), bool)
+    for b0, b1 in blanks:
+        explained[b0 : min(b1 + 45, len(est))] = True
+    unexplained = int((~explained[reset_frames]).sum())
     segs = segment_ate(est, gt, resets)
+    map_wrapped = bool(int(state[0].map.next_id if isinstance(state, tuple)
+                           else state.map.next_id) > cfg.map_capacity)
     return {
         "fps_long": fps,
         "long_frames": len(u8),
@@ -221,6 +228,66 @@ def bench_long_sequence(cfg) -> dict:
             max(a for _, _, a in segs) if segs else None
         ),
         "long_segments": len(segs),
+        "long_map_wrapped": map_wrapped,
+    }
+
+
+def bench_kitti_gates() -> dict:
+    """Full pipeline at the reference's ACTUAL KITTI tuning.
+
+    Every other stage runs scene-matched gates; this one runs the
+    reference's real KITTI override set (min_median_flow=40,
+    max_reproj_err=5, pnp_reproj_err=1, SIFT nfeatures=4096 @ contrast
+    0.02 — reference: src/config/config.py:49-104 via get_config) on
+    the marathon fixture's first 256 frames, whose doubled frame speed
+    puts median flows in the regime that gate set actually operates in
+    (VERDICT r3 weak #4). Reports the keyframe cadence it produces.
+    """
+    from visualodometry_tpu.config import get_config
+    from visualodometry_tpu.data.synthetic import segment_ate
+    import jax.numpy as jnp
+
+    from visualodometry_tpu.core import init_state
+    from visualodometry_tpu.core.runner import make_chunked_pipeline_fn
+
+    cfg = get_config("kitti", extractor="sift").replace(
+        matcher_backend="pallas",
+        # renderer-matched detection floor (bench.py:_build_cfg
+        # precedent: the ray-cast texture is softer than real imagery);
+        # every GATE (flow/reproj/PnP) stays at the reference values
+        sift_edge_threshold=10.0,
+        global_scale=2.4,
+    )
+    u8, gt, K, blanks = _load_fixture_long()
+    n = 256
+    u8, gt = u8[:n], gt[:n]
+    run = make_chunked_pipeline_fn(cfg, K)
+    state = init_state(cfg, desc_dim=128)
+    chunks = [
+        jnp.asarray(u8[i : i + CHUNK]) for i in range(0, n, CHUNK)
+    ]
+    float(jnp.sum(chunks[-1][:, ::37, ::37]))
+    outs = []
+    t0 = time.perf_counter()
+    for c in chunks:
+        state, out = run(state, c)
+        outs.append(out)
+    float(jnp.sum(out.T_wc))
+    fps = n / (time.perf_counter() - t0)  # incl. compile: health stage
+    est = np.concatenate([np.asarray(o.T_wc)[:, :3, 3] for o in outs])
+    resets = np.concatenate([np.asarray(o.did_reset) for o in outs])
+    kf = int(sum(np.asarray(o.is_keyframe).sum() for o in outs))
+    inited = np.concatenate([np.asarray(o.initialized) for o in outs])
+    segs = segment_ate(est, gt, resets)
+    return {
+        "kittigates_keyframes": kf,
+        "kittigates_frames": n,
+        "kittigates_resets": int(resets.sum()),
+        "kittigates_tracking": bool(inited[-1]),
+        "kittigates_segment_ate_max": (
+            max(a for _, _, a in segs) if segs else None
+        ),
+        "kittigates_fps_with_compile": fps,
     }
 
 
@@ -303,8 +370,18 @@ def bench_extraction_fps(u8, cfg) -> float:
     return reps * CHUNK / (time.perf_counter() - t0)
 
 
-def bench_ba_solve_ms() -> float:
-    """BA solve wall time: 20 keyframes x 5120 landmarks, 8 GN iters."""
+def bench_ba_solve_ms() -> dict:
+    """BA solve wall time: 20 keyframes x 5120 landmarks, 8 GN iters.
+
+    Reports the split the r3 numbers conflated (VERDICT r3 weak #2):
+      ba_latency_ms  — ONE cold dispatch incl. the ~24 ms tunnel
+                       round-trip (what a single isolated solve costs
+                       through this attachment);
+      ba_marginal_ms — slope of chained data-dependent solves (the
+                       per-solve compute cost once dispatch is
+                       amortized — what back-to-back windows cost);
+      ba_ms          — chained-amortized mean (continuity with r2/r3).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -339,18 +416,85 @@ def bench_ba_solve_ms() -> float:
 
     solve = jax.jit(lambda p: ba_solve(p, iters=8, damping=1e-4))
     float(jnp2.sum(solve(prob).X))  # compile + settle (scalar-fetch sync)
-    t0 = time.perf_counter()
-    reps = 10
+
+    # single-dispatch latency (median of 3 isolated solves)
+    lats = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp2.sum(solve(prob).X))
+        lats.append(time.perf_counter() - t0)
+    latency_ms = sorted(lats)[1] * 1e3
+
     # chain the reps through the data (each rep re-solves from the
     # previous solution): identical re-dispatches of a pure program can
     # read ~0 ms through the tunnel, and block_until_ready can return
     # early (round-1 pitfalls) — so the timed region carries a real
     # dependence and ends on an explicit scalar fetch
-    p = prob
-    for _ in range(reps):
-        p = solve(p)
-    float(jnp2.sum(p.X))
-    return (time.perf_counter() - t0) / reps * 1e3
+    def chained(reps):
+        p = prob
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            p = solve(p)
+        float(jnp2.sum(p.X))
+        return time.perf_counter() - t0
+
+    t5, t15 = chained(5), chained(15)
+    marginal_ms = (t15 - t5) / 10 * 1e3
+    return {
+        "ba_ms": t15 / 15 * 1e3,
+        "ba_latency_ms": latency_ms,
+        "ba_marginal_ms": marginal_ms,
+    }
+
+
+def bench_patch_parity() -> bool:
+    """On-chip Mosaic patch-DMA parity (VERDICT r3 item 6).
+
+    The r2 silent-corruption class lived in ops/patches.py's DMA
+    alignment hints, which interpret-mode CI cannot exercise — so the
+    gather-vs-patch descriptor parity check at a non-tile-multiple
+    shape (306x613, keypoints hugging the edges) runs on REAL hardware
+    inside every bench and is machine-checked into BENCH_r{N}.json as
+    `patch_dma_parity_ok` (scripts/verify_patches_tpu.py remains the
+    manual leg).
+    """
+    import jax.numpy as jnp
+
+    from visualodometry_tpu.config import VOConfig
+    from visualodometry_tpu.frontend import sift as fs
+
+    rng = np.random.default_rng(11)
+    H, W = 306, 613  # KITTI half-res octave: H%8=2, W%128=101
+    ys, xs = np.mgrid[0:H, 0:W]
+    img = np.zeros((H, W), np.float32)
+    centers = [
+        (12, 12), (12, W - 13), (H - 13, 12), (H - 13, W - 13),
+        (H - 13, W // 2), (H // 2, W - 13), (H - 40, W - 40),
+    ] + [
+        (rng.uniform(10, H - 10), rng.uniform(10, W - 10))
+        for _ in range(60)
+    ]
+    for cy, cx in centers:
+        s = rng.uniform(1.5, 4.0)
+        img += rng.uniform(0.3, 1.0) * np.exp(
+            -((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * s * s)
+        )
+    img /= img.max()
+    kw = dict(
+        extractor_type="sift", max_keypoints=256, sift_n_features=256,
+        sift_num_octaves=2, sift_contrast_threshold=0.005,
+    )
+    f_g = fs.extract_sift(
+        jnp.asarray(img), VOConfig(sift_sampling="gather", **kw)
+    )
+    f_p = fs.extract_sift(
+        jnp.asarray(img), VOConfig(sift_sampling="patch", **kw)
+    )
+    v = np.asarray(f_g.valid)
+    if v.sum() <= 20 or not np.array_equal(v, np.asarray(f_p.valid)):
+        return False
+    dg, dp = np.asarray(f_g.desc)[v], np.asarray(f_p.desc)[v]
+    return bool(np.abs(dg - dp).max() <= 1e-6)
 
 
 def _measure_tpu():
@@ -373,13 +517,17 @@ def _measure_tpu():
     fps_tpu, health = bench_tpu_pipeline(u8, gt, K, cfg)
     _emit("full", fps_tpu=fps_tpu, **health)
 
-    ba_ms = bench_ba_solve_ms()
-    _emit("ba", ba_ms=ba_ms)
+    _emit("ba", **bench_ba_solve_ms())
 
-    # long-sequence health (VERDICT r2 item 6): same compiled programs
-    # as the main pipeline (same shapes), so this costs upload + compute
-    # only
+    _emit("patch_parity", patch_dma_parity_ok=bench_patch_parity())
+
+    # marathon long-sequence health (VERDICT r3 item 7): same compiled
+    # programs as the main pipeline (same shapes), so this costs upload
+    # + compute only
     _emit("long", **bench_long_sequence(cfg))
+
+    # reference-gate cadence stage (VERDICT r3 weak #4)
+    _emit("kitti_gates", **bench_kitti_gates())
 
     # learned frontend at the reference's SuperPoint operating point
     # (2048 keypoints, reference: src/config/config.py:15), bf16 backbone
@@ -512,6 +660,17 @@ def main():
         "ba_solve_ms_20kf_5120lm": (
             round(stages["ba_ms"], 2) if "ba_ms" in stages else None
         ),
+        "ba_solve_latency_ms": (
+            round(stages["ba_latency_ms"], 2)
+            if "ba_latency_ms" in stages
+            else None
+        ),
+        "ba_solve_marginal_ms": (
+            round(stages["ba_marginal_ms"], 2)
+            if "ba_marginal_ms" in stages
+            else None
+        ),
+        "patch_dma_parity_ok": stages.get("patch_dma_parity_ok"),
         "fps_long_seq": (
             round(stages["fps_long"], 2) if "fps_long" in stages else None
         ),
@@ -523,6 +682,15 @@ def main():
         "long_seq_segment_ate_max": (
             round(stages["long_segment_ate_max"], 3)
             if stages.get("long_segment_ate_max") is not None
+            else None
+        ),
+        "long_map_wrapped": stages.get("long_map_wrapped"),
+        "kittigates_keyframes": stages.get("kittigates_keyframes"),
+        "kittigates_frames": stages.get("kittigates_frames"),
+        "kittigates_resets": stages.get("kittigates_resets"),
+        "kittigates_segment_ate_max": (
+            round(stages["kittigates_segment_ate_max"], 3)
+            if stages.get("kittigates_segment_ate_max") is not None
             else None
         ),
         "fps_superpoint_2048kps": (

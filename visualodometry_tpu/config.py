@@ -48,6 +48,12 @@ class VOConfig:
     sift_sigma: float = 1.6
     sift_num_octaves: int = 4
     sift_scales_per_octave: int = 3
+    # -1 = cv2.SIFT's default upsampled base octave (bilinear 2x): half
+    # of cv2's keypoints on textured imagery live there (r4 measurement,
+    # ops/pyramid.build_pyramid docstring), so long-horizon parity
+    # configs want -1; 0 trades that octave for ~2x extraction
+    # throughput (the bench operating point's choice).
+    sift_first_octave: int = 0
     # orientation/descriptor tap sampling: "auto" = patch-DMA Pallas path
     # on TPU, flat gathers elsewhere; "gather"/"patch" force a path
     sift_sampling: str = "auto"
@@ -130,6 +136,17 @@ class VOConfig:
     # refine -> re-estimate-inliers rounds (LO-RANSAC local optimization;
     # cv2.solvePnPRansac's trailing LM-over-consensus equivalent)
     pnp_refine_rounds: int = 3
+    # Truncated-Huber IRLS shape (multiples of pnp_reproj_err): linear
+    # decay starts at pnp_irls_delta x thresh, weight reaches zero at
+    # pnp_irls_cut x thresh. The r3 values (1.0, 3.0) killed RANSAC-seed
+    # scatter but let stale drifted landmarks at 3-6 px keep weight
+    # 0.3-0.7 and drag the pose on long sequences (map-feedback bias —
+    # measured: deeper refinement at cut=3 WORSENS 256-frame drift 4.3
+    # -> 14.3 m). cv2.solvePnPRansac refines only the hard consensus
+    # set; the tightened default keeps the smooth, data-determined
+    # optimum near the threshold with cv2-like rejection beyond it.
+    pnp_irls_delta: float = 1.0
+    pnp_irls_cut: float = 3.0
     seed: int = 0
 
     # KLT tracking mode (project-statement design; core/klt_step.py)

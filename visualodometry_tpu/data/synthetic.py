@@ -396,6 +396,53 @@ def render_image(
     return img
 
 
+def make_marathon_fixture(
+    num_frames: int = 1024,
+    image_size: tuple[int, int] = (1226, 370),
+    speed: float = 2.4,
+    seed: int = 13,
+    blanks: tuple = ((240, 243), (540, 544), (820, 822)),
+):
+    """Marathon-scale drive: >=1024 frames, several blackouts, KITTI-
+    magnitude flows.
+
+    The reference consumes thousands-frame KITTI sequences
+    (src/main.py:58-64); the 128/256-frame fixtures are two orders
+    short (VERDICT r3 item 7). This stretches the corridor recipe:
+    - `num_frames` >= 1024 with a multi-period S-curve yaw profile
+      (three full periods, peak ~0.9 deg/frame);
+    - double the frame speed, so median inter-frame flows land in the
+      tens of pixels — the regime the reference's KITTI gate set
+      (min_median_flow=40, src/config/config.py:54) actually operates
+      in;
+    - THREE blackout windows at different curve phases, each forcing
+      the reset/re-bootstrap path.
+    Returns (u8 frames (F, H, W), gt_positions (F, 3), K, blanks).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(num_frames, dtype=np.float64)
+    period = num_frames / 3.0
+    # yaw/frame = rate * speed -> peak ~0.9 deg/frame at speed 2.4
+    rate = 0.0065 * np.sin(2.0 * np.pi * t / period) * (t > 40)
+    scene = make_scene(
+        rng,
+        num_frames=num_frames,
+        speed=speed,
+        num_landmarks=2,  # textured renderer ignores point landmarks
+        image_size=image_size,
+        turn_profile=rate,
+    )
+    W, H = image_size
+    frames = np.empty((num_frames, H, W), np.uint8)
+    for f in range(num_frames):
+        img = render_textured_image(scene, f)
+        frames[f] = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    for b0, b1 in blanks:
+        flat = 90.0 + 2.0 * rng.standard_normal((b1 - b0, H, W))
+        frames[b0:b1] = np.clip(flat, 0, 255).astype(np.uint8)
+    return frames, scene.gt_positions, scene.K, blanks
+
+
 def make_long_corridor_fixture(
     num_frames: int = 256,
     image_size: tuple[int, int] = (1226, 370),

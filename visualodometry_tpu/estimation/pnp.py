@@ -226,8 +226,10 @@ def solve_pnp_ransac(
     # on a seed that Huber tracked at 0.013). Truncation keeps the
     # smooth near-threshold behavior that makes the optimum
     # data-determined while bounding far-outlier influence at zero.
-    delta = jnp.asarray(cfg.pnp_reproj_err, pts3d.dtype)
-    cut_sq = (3.0 * cfg.pnp_reproj_err) ** 2
+    delta = jnp.asarray(
+        cfg.pnp_irls_delta * cfg.pnp_reproj_err, pts3d.dtype
+    )
+    cut_sq = (cfg.pnp_irls_cut * cfg.pnp_reproj_err) ** 2
     for rnd in range(max(1, cfg.pnp_refine_rounds)):
         err_sq_r, z_r = _reproj_err_sq(
             T_out[:3, :3], T_out[:3, 3], pts3d, uv, K

@@ -18,9 +18,11 @@ redesign:
 
 Deviations from OpenCV chosen for TPU shape discipline (capability is
 preserved; exact keypoint sets differ, which only matters through the
-matcher): no upsampled -1 octave; one orientation per keypoint (no peak
-splitting); fixed 16x16 descriptor sample grid instead of the
-radius-dependent pixel walk.
+matcher): upsampled -1 octave optional (cfg.sift_first_octave; ON for
+long-horizon parity configs, off at the throughput operating point);
+one orientation per keypoint unless cfg.sift_orientation_peaks > 1;
+fixed 16x16 descriptor sample grid instead of the radius-dependent
+pixel walk.
 """
 
 from __future__ import annotations
@@ -727,7 +729,11 @@ def extract_sift(img: jnp.ndarray, cfg: VOConfig) -> Features:
     img = img.astype(jnp.float32)
     S = cfg.sift_scales_per_octave
     gauss, dogs = build_pyramid(
-        img, cfg.sift_num_octaves, S, sigma0=cfg.sift_sigma
+        img,
+        cfg.sift_num_octaves,
+        S,
+        sigma0=cfg.sift_sigma,
+        first_octave=cfg.sift_first_octave,
     )
     return extract_sift_from_pyramid((tuple(gauss), tuple(dogs)), cfg)
 
@@ -752,7 +758,11 @@ def make_batched_extract_fn(cfg: VOConfig):
 
         def pyr_one(im):
             gauss, dogs = build_pyramid(
-                im, cfg.sift_num_octaves, S, sigma0=cfg.sift_sigma
+                im,
+                cfg.sift_num_octaves,
+                S,
+                sigma0=cfg.sift_sigma,
+                first_octave=cfg.sift_first_octave,
             )
             return tuple(gauss), tuple(dogs)
 
@@ -832,7 +842,7 @@ def extract_sift_from_pyramid(pyr_pair, cfg: VOConfig) -> Features:
                 gauss[o], kps, theta, grad_packed, sampler
             )
             # octave coords -> original image pixels
-            all_xy.append(kps.xy * (2.0**o))
+            all_xy.append(kps.xy * (2.0 ** (o + cfg.sift_first_octave)))
             all_desc.append(desc)
             all_valid.append(valid)
 

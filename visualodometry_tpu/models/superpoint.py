@@ -109,9 +109,30 @@ def select_keypoints(
     scores, idx = _topk_hier(
         nms.reshape(-1), max_keypoints, group=1024, t_cap=256
     )
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
+    yi = (idx // W).astype(jnp.int32)
+    xi = (idx % W).astype(jnp.int32)
     valid = scores > threshold
+
+    # 3x3 soft-argmax subpixel refinement on the raw (pre-NMS) heatmap:
+    # the torch SuperPoint (reference: src/modules/frontend.py:17-22)
+    # emits integer-pixel keypoints; the resulting ~0.3 px quantization
+    # noise feeds every downstream PnP/triangulation solve. The local
+    # probability-mass centroid recovers the sub-pixel mode the same way
+    # the SIFT path's quadratic refinement does (frontend/sift.py).
+    y0 = jnp.clip(yi, 1, H - 2)
+    x0 = jnp.clip(xi, 1, W - 2)
+    wsum = jnp.zeros_like(scores)
+    ox = jnp.zeros_like(scores)
+    oy = jnp.zeros_like(scores)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            w = heat[y0 + di, x0 + dj]
+            wsum = wsum + w
+            oy = oy + w * di
+            ox = ox + w * dj
+    wsum = jnp.maximum(wsum, 1e-12)
+    xs = x0.astype(jnp.float32) + jnp.clip(ox / wsum, -0.5, 0.5)
+    ys = y0.astype(jnp.float32) + jnp.clip(oy / wsum, -0.5, 0.5)
 
     # bilinear sample the coarse (H/8, W/8, 256) descriptor grid
     gx = xs / 8.0 - 0.5

@@ -115,15 +115,27 @@ def build_pyramid(
     scales: int,
     sigma0: float = 1.6,
     assumed_blur: float = 0.5,
+    first_octave: int = 0,
 ):
     """Full Gaussian + DoG pyramids.
 
     Returns (gauss, dogs): lists over octaves of (scales+3, Ho, Wo) and
     (scales+2, Ho, Wo). Like OpenCV SIFT, the input is pre-blurred up to
-    sigma0 assuming `assumed_blur` sensor blur (no 2x upsample octave —
-    the -1 octave is an OpenCV option we trade for throughput; keypoint
-    capacity is recovered by the per-octave caps).
+    sigma0 assuming `assumed_blur` sensor blur.
+
+    first_octave=-1 reproduces cv2.SIFT's default upsampled base octave
+    (bilinear 2x, sensor blur doubles to 2*assumed_blur): on textured
+    imagery HALF of cv2's keypoints live in that octave (measured on the
+    corridor fixture: 370 of 730/frame; our octaves 0-2 matched cv2's
+    217+103+35 almost exactly), so parity-grade keypoint populations
+    need it. The stack then spans `num_octaves` octaves starting at
+    `first_octave` — coordinate mapping back to input pixels is the
+    caller's job via 2^(o + first_octave).
     """
+    if first_octave == -1:
+        H, W = img.shape
+        img = jax.image.resize(img, (2 * H, 2 * W), "linear")
+        assumed_blur = 2.0 * assumed_blur
     sig_diff = math.sqrt(max(sigma0**2 - assumed_blur**2, 1e-8))
     base = blur_2d(img, sig_diff)
     gauss, dogs = [], []
