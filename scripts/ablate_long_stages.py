@@ -80,6 +80,25 @@ def main():
     cfg = _cfg_ref()
 
     fe_cv2, fe_tpu = _features(u8, cfg)
+    fe_tpu_fo = None
+    if want and "K" in want or want and "L" in want:
+        cache_fo = "/root/repo/.ablate_long_feats_fo.npz"
+        if os.path.exists(cache_fo):
+            d2 = np.load(cache_fo, allow_pickle=True)
+            fe_tpu_fo = list(zip(d2["kps"], d2["des"]))
+        else:
+            t0 = time.time()
+            fe_tpu_fo = aa.tpu_features(
+                u8,
+                cfg.replace(sift_num_octaves=4, sift_first_octave=-1),
+            )
+            print(f"tpu fo-1 feats {time.time() - t0:.0f}s", flush=True)
+            np.savez(
+                cache_fo,
+                kps=np.asarray([k for k, _ in fe_tpu_fo], object),
+                des=np.asarray([d for _, d in fe_tpu_fo], object),
+                allow_pickle=True,
+            )
 
     def stages(which, cfg):
         return dict(
@@ -113,6 +132,8 @@ def main():
         ("G cv2 feats + pnp+tri    ", fe_cv2, {**CV2, "pnp": "tpu", "tri": "tpu"}),
         ("I cv2 feats + all-tpu    ", fe_cv2, TPU),
         ("J tpu feats + all-tpu    ", fe_tpu, TPU),
+        ("K tpufo1 feats + all-tpu ", fe_tpu_fo, TPU),
+        ("L tpufo1 feats + all-cv2 ", fe_tpu_fo, CV2),
     ]
     for name, feats, which in runs:
         if want and name[0] not in want:

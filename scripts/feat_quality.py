@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Keypoint LOCALIZATION quality: TPU SIFT vs cv2.SIFT vs GT flow.
+
+The r3 frontend test measures repeatability @3px — VO drift cares about
+the subpixel regime. This renders consecutive corridor frames with
+exact depth, matches each extractor's features frame-to-frame (ratio
+test), keeps pairs whose flow agrees with the GT reprojection within
+3 px (true correspondences), and reports the percentiles of the
+REPROJECTION RESIDUAL |kp1 - reproject(kp0)| — the localization noise
+that feeds every PnP/triangulation solve.
+
+Usage: python scripts/feat_quality.py [n_pairs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from visualodometry_tpu.config import VOConfig
+from visualodometry_tpu.data.synthetic import (
+    make_scene,
+    render_textured_image,
+)
+
+
+def gt_reproject(kps, depth, T0, T1, K):
+    """Frame-0 pixels -> frame-1 pixels via rendered depth."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    H, W = depth.shape
+    xi = np.clip(np.round(kps[:, 0]).astype(int), 0, W - 1)
+    yi = np.clip(np.round(kps[:, 1]).astype(int), 0, H - 1)
+    d = depth[yi, xi]
+    ok = np.isfinite(d)
+    pc0 = np.stack(
+        [(kps[:, 0] - cx) / fx * d, (kps[:, 1] - cy) / fy * d, d], -1
+    )
+    pw = pc0 @ T0[:3, :3].T + T0[:3, 3]
+    pc1 = (pw - T1[:3, 3]) @ T1[:3, :3]
+    z = pc1[:, 2]
+    ok &= z > 0.5
+    uv = np.stack(
+        [pc1[:, 0] / z * fx + cx, pc1[:, 1] / z * fy + cy], -1
+    )
+    return uv, ok
+
+
+def ratio_match(d0, d1, ratio=0.75):
+    sim = d0 @ d1.T
+    dd = np.maximum(2 - 2 * sim, 0)
+    j1 = dd.argmin(1)
+    m1 = dd[np.arange(len(d0)), j1]
+    dd[np.arange(len(d0)), j1] = np.inf
+    m2 = dd.min(1)
+    return j1, np.sqrt(m1) < ratio * np.sqrt(m2 + 1e-12)
+
+
+def residuals(extract, imgs, depths, scene, name):
+    errs, counts = [], []
+    K = scene.K
+    for f in range(len(imgs) - 1):
+        k0, d0 = extract(imgs[f])
+        k1, d1 = extract(imgs[f + 1])
+        counts.append((len(k0) + len(k1)) / 2)
+        if len(k0) < 8 or len(k1) < 8:
+            continue
+        j, ok = ratio_match(d0, d1)
+        uv_gt, okr = gt_reproject(
+            k0, depths[f], scene.poses_T_wc[f], scene.poses_T_wc[f + 1], K
+        )
+        e = np.linalg.norm(k1[j] - uv_gt, axis=1)
+        true_corr = ok & okr & (e < 3.0)
+        errs.append(e[true_corr])
+    e = np.concatenate(errs)
+    q = np.percentile(e, [25, 50, 75, 90])
+    print(
+        f"{name}: kps/frame {np.mean(counts):.0f}, true corr/frame "
+        f"{len(e) / (len(imgs) - 1):.0f}, reproj residual px "
+        f"p25 {q[0]:.3f} p50 {q[1]:.3f} p75 {q[2]:.3f} p90 {q[3]:.3f}"
+    )
+    return q[1]
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    rng = np.random.default_rng(3)
+    scene = make_scene(
+        rng, num_frames=n, speed=1.2, turn_rate=0.006,
+        image_size=(640, 360),
+    )
+    imgs, depths = [], []
+    for f in range(n):
+        img, dep = render_textured_image(scene, f, with_depth=True)
+        imgs.append(np.clip(img, 0, 1).astype(np.float32))
+        depths.append(dep)
+    u8 = [(im * 255 + 0.5).astype(np.uint8) for im in imgs]
+
+    def cv2_extract(img):
+        import cv2
+
+        sift = cv2.SIFT_create(nfeatures=2048, contrastThreshold=0.02)
+        kp, des = sift.detectAndCompute(img, None)
+        if des is None:
+            return np.zeros((0, 2)), np.zeros((0, 128), np.float32)
+        des = des / np.maximum(
+            np.linalg.norm(des, axis=1, keepdims=True), 1e-9
+        )
+        return (
+            np.array([k.pt for k in kp], np.float64).reshape(-1, 2),
+            des.astype(np.float32),
+        )
+
+    def tpu_extract_cfg(**kw):
+        from visualodometry_tpu.frontend.sift import extract_sift
+
+        cfg = VOConfig(
+            extractor_type="sift", max_keypoints=2048,
+            sift_n_features=2048, sift_contrast_threshold=0.02,
+            image_size=(640, 360), **kw,
+        )
+        fn = jax.jit(lambda im: extract_sift(im, cfg))
+
+        def ex(img):
+            f = fn(jnp.asarray((img * 255 + 0.5).astype(np.uint8)))
+            v = np.asarray(f.valid)
+            return (
+                np.asarray(f.kps, np.float64)[v],
+                np.asarray(f.desc, np.float32)[v],
+            )
+
+        return ex
+
+    residuals(cv2_extract, u8, depths, scene, "cv2.SIFT             ")
+    residuals(
+        tpu_extract_cfg(sift_num_octaves=3),
+        imgs, depths, scene, "tpu fo=0  peaks=1    ",
+    )
+    residuals(
+        tpu_extract_cfg(sift_num_octaves=3, sift_orientation_peaks=2),
+        imgs, depths, scene, "tpu fo=0  peaks=2    ",
+    )
+    residuals(
+        tpu_extract_cfg(sift_num_octaves=4, sift_first_octave=-1),
+        imgs, depths, scene, "tpu fo=-1 peaks=1    ",
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,11 @@ def _default_weights_path():
     from pathlib import Path
 
     weights = Path(__file__).resolve().parent.parent / "models" / "weights"
-    for name in ("superpoint_textured.pkl", "superpoint_synthetic.pkl"):
+    for name in (
+        "superpoint_vo.pkl",  # r4 SIFT-teacher + depth-GT VO-pair stage
+        "superpoint_textured.pkl",
+        "superpoint_synthetic.pkl",
+    ):
         if (weights / name).exists():
             return weights / name
     return None
