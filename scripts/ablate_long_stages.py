@@ -81,7 +81,7 @@ def main():
 
     fe_cv2, fe_tpu = _features(u8, cfg)
     fe_tpu_fo = None
-    if want and "K" in want or want and "L" in want:
+    if want and want & set("KLMNOP"):
         cache_fo = "/root/repo/.ablate_long_feats_fo.npz"
         if os.path.exists(cache_fo):
             d2 = np.load(cache_fo, allow_pickle=True)
@@ -134,6 +134,10 @@ def main():
         ("J tpu feats + all-tpu    ", fe_tpu, TPU),
         ("K tpufo1 feats + all-tpu ", fe_tpu_fo, TPU),
         ("L tpufo1 feats + all-cv2 ", fe_tpu_fo, CV2),
+        ("M tpufo1 feats + tpu pnp ", fe_tpu_fo, {**CV2, "pnp": "tpu"}),
+        ("N tpufo1 feats + tpu tri ", fe_tpu_fo, {**CV2, "tri": "tpu"}),
+        ("O tpufo1 feats + tpu ess ", fe_tpu_fo, {**CV2, "ess": "tpu"}),
+        ("P tpufo1 feats + tpu mtch", fe_tpu_fo, {**CV2, "match": "tpu"}),
     ]
     for name, feats, which in runs:
         if want and name[0] not in want:

@@ -166,3 +166,29 @@ class TestOrientationPeakSplitting:
                 assert (diff > 1e-3).all()
             off += 2 * b
         assert n_secondary >= 3, n_secondary
+
+
+class TestFirstOctave:
+    def test_upsampled_octave_adds_fine_keypoints(self, rng):
+        """cfg.sift_first_octave=-1 reproduces cv2's upsampled base
+        octave (r4): more keypoints from fine scales, coordinates still
+        mapped to input pixels (ops/pyramid.build_pyramid)."""
+        img, _ = _blob_image(rng, n_blobs=120, seed_sigma=(1.0, 2.5))
+        f0 = extract_sift(jnp.asarray(img), _cfg())
+        f1 = extract_sift(
+            jnp.asarray(img),
+            _cfg(sift_num_octaves=4, sift_first_octave=-1),
+        )
+        n0 = int(np.asarray(f0.valid).sum())
+        n1 = int(np.asarray(f1.valid).sum())
+        assert n1 > n0, (n0, n1)
+
+        kps = np.asarray(f1.kps)[np.asarray(f1.valid)]
+        assert kps[:, 0].min() >= 0 and kps[:, 0].max() < W
+        assert kps[:, 1].min() >= 0 and kps[:, 1].max() < H
+
+        # the fine octave localizes the same blobs: every fo=0 keypoint
+        # has an fo=-1 keypoint within 2 px OR is a coarse-scale point
+        k0 = np.asarray(f0.kps)[np.asarray(f0.valid)]
+        d = np.linalg.norm(k0[:, None] - kps[None, :], axis=-1).min(1)
+        assert np.median(d) < 2.0, np.median(d)
