@@ -143,6 +143,33 @@ def main():
 
         return ex
 
+    def sp_extract_fn(**kw):
+        from visualodometry_tpu.frontend.superpoint import (
+            make_superpoint_extract_fn,
+        )
+
+        cfg = VOConfig(
+            extractor_type="superpoint", max_keypoints=2048,
+            image_size=(640, 360), **kw,
+        )
+        fn = jax.jit(make_superpoint_extract_fn(cfg))
+
+        def ex(img):
+            f = fn(jnp.asarray(img))
+            v = np.asarray(f.valid)
+            return (
+                np.asarray(f.kps, np.float64)[v],
+                np.asarray(f.desc, np.float32)[v],
+            )
+
+        return ex
+
+    if "--sp" in sys.argv:
+        residuals(
+            sp_extract_fn(), imgs, depths, scene, "superpoint           "
+        )
+        return
+
     residuals(cv2_extract, u8, depths, scene, "cv2.SIFT             ")
     residuals(
         tpu_extract_cfg(sift_num_octaves=3),

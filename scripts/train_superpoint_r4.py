@@ -37,6 +37,7 @@ def main():
         if len(sys.argv) > 2
         else "/root/repo/visualodometry_tpu/models/weights/superpoint_vo.pkl"
     )
+    warm = sys.argv[3] if len(sys.argv) > 3 else _WARM
     import jax
 
     jax.config.update(
@@ -68,7 +69,8 @@ def main():
     )
 
     model = SuperPointBackbone()
-    params = load_params(_WARM)
+    params = load_params(warm)
+    print(f"warm start: {warm}", flush=True)
     hw = (320, 640)
     batch = 8
     tx = optax.adam(optax.cosine_decay_schedule(1.5e-4, steps, alpha=0.05))

@@ -29,6 +29,7 @@ from visualodometry_tpu.frontend.sift import extract_sift
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_attention_matcher_tracks_textured_fixture():
     cfg = VOConfig(
         extractor_type="sift",

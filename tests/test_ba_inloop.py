@@ -1,6 +1,7 @@
 """Device-side windowed BA in the chunked runner (ba/inloop.py)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from visualodometry_tpu.ba.inloop import init_window, push_frame
@@ -110,6 +111,7 @@ class TestApplyPoseDelta:
         )
 
 
+@pytest.mark.slow
 class TestChunkedBA:
     def test_chunked_runner_with_inloop_ba(self):
         """Rendered images -> chunked runner with device BA: tracks and

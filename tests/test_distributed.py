@@ -4,6 +4,7 @@
 - multi-sequence DP must match per-sequence serial execution.
 """
 
+import pytest
 import numpy as np
 import cv2
 import jax
@@ -80,6 +81,7 @@ class TestDistributedBA:
 
 
 class TestMultiSequence:
+    @pytest.mark.slow
     def test_matches_serial(self):
         B = 8
         n_slots = 256
@@ -144,6 +146,7 @@ class TestMultiSequence:
                     atol=0.15,
                 )
 
+    @pytest.mark.slow
     def test_fivepoint_behavioral_equivalence(self):
         """Default (5-point) solver under vmap vs serial (VERDICT r1 #7).
 

@@ -6,6 +6,7 @@ dot-world is harder than real texture for SIFT); the feature-level and
 step-level tests carry the tight accuracy contracts.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ def _make_cfg(N=1024):
     )
 
 
+@pytest.mark.slow
 def test_images_to_trajectory():
     cfg = _make_cfg()
     # NOTE: this scenario (3 px median flows, scene depth >> keyframe

@@ -34,6 +34,7 @@ def _cfg(**kw):
     return VOConfig(**base)
 
 
+@pytest.mark.slow
 class TestKLTStep:
     @pytest.fixture(scope="class")
     def run(self):

@@ -62,11 +62,14 @@ def _cfg():
         extractor_type="sift",
         max_keypoints=2048,
         sift_n_features=2048,
-        # scene-matched detection (bench.py precedent): the ray-cast
-        # texture is softer than real imagery, and the fixture's
-        # feature-poor turn apex needs the extra recall; peak splitting
-        # recovers cv2's multi-orientation keypoints at equal slot count
-        sift_contrast_threshold=0.012,
+        # cv2-matched detection + matching gates (r4): the r3 "recall"
+        # gates (contrast 0.012 / Lowe 0.8) fed the turns with low-
+        # contrast keypoints and loose matches — measured +1.9 m of
+        # pre-blackout drift vs these values on identical seeds
+        # (scripts/ablate_long_drift.py; full sweep in RESULTS r4).
+        # Peak splitting stays: single-orientation keypoints measured
+        # worse through the S-curves (6.1 vs 4.3).
+        sift_contrast_threshold=0.02,
         sift_orientation_peaks=2,
         sift_num_octaves=3,
         min_median_flow=3.0,
@@ -74,7 +77,7 @@ def _cfg():
         pnp_reproj_err=2.0,
         min_depth=1.0,
         min_parallax_deg=0.35,
-        lowe_ratio=0.8,
+        lowe_ratio=0.75,
         essential_hypotheses=256,
         pnp_hypotheses=256,
         map_capacity=8192,  # small enough that 200+ keyframes wrap it

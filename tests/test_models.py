@@ -7,6 +7,7 @@ dual-softmax mutual NN on descriptors), and torch->flax weight conversion
 round-trips on a synthetic checkpoint.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -164,6 +165,7 @@ class TestAttentionMatcher:
         assert not np.isin(matched_targets, np.arange(20)).any()
 
 
+@pytest.mark.slow
 class TestSuperPointPretraining:
     def test_loss_decreases_and_detects(self):
         """Short CPU pretraining run: loss drops and blobs get detected."""
@@ -226,6 +228,7 @@ class TestMatcherTraining:
         p1, _ = evaluate(params_t, model_t, test_batch)
         assert p1 > p0 + 0.05, f"precision {p0:.3f} -> {p1:.3f}"
 
+    @pytest.mark.slow
     def test_bundled_matcher_weights(self):
         """The shipped trained matcher weights load into the step."""
         from pathlib import Path

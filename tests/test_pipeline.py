@@ -58,6 +58,7 @@ class TestEngine:
             outs.append(engine.process_frame(None, feats=feats))
         return scene, engine, outs
 
+    @pytest.mark.slow
     def test_engine_tracks(self):
         scene, engine, outs = self._run(enable_ba=False)
         assert bool(outs[-1].initialized)
@@ -155,6 +156,7 @@ class TestPrefetch:
 
 
 class TestCli:
+    @pytest.mark.slow
     def test_end_to_end_kitti_fixture(self, tmp_path, capsys):
         """CLI on a rendered-image KITTI fixture tree."""
         from PIL import Image
@@ -201,6 +203,7 @@ class TestCli:
         assert stats["fps"] > 0
 
 
+@pytest.mark.slow
 class TestSuperPointEngine:
     def test_superpoint_path_runs(self):
         """Engine with the SuperPoint extractor (random weights): the
@@ -220,6 +223,7 @@ class TestSuperPointEngine:
         assert np.isfinite(np.asarray(out.T_wc)).all()
 
 
+@pytest.mark.slow
 class TestCliChunked:
     def test_chunked_mode(self, tmp_path, capsys):
         from PIL import Image
@@ -256,6 +260,7 @@ class TestCliChunked:
         assert stats["fps"] > 0
 
 
+@pytest.mark.slow
 class TestCliKlt:
     def test_klt_mode(self, tmp_path, capsys):
         from PIL import Image

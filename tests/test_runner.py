@@ -1,5 +1,6 @@
 """Chunked runner must be step-for-step identical to the serial loop."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ def _cfg(**kw):
     return VOConfig(**base)
 
 
+@pytest.mark.slow
 class TestChunkedRunner:
     def test_matches_serial_features(self):
         rng = np.random.default_rng(5)

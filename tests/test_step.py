@@ -63,6 +63,7 @@ def _segments(outs):
     return segs
 
 
+@pytest.mark.slow
 class TestStepPipeline:
     @pytest.fixture(scope="class")
     def scene_and_run(self):
@@ -125,6 +126,7 @@ class TestStepEdgeCases:
         state, outs = _run_sequence(cfg, scene, feats)
         assert any(bool(o.did_reset) for o in outs[8:])
 
+    @pytest.mark.slow
     def test_waits_for_motion(self):
         rng = np.random.default_rng(5)
         cfg = _cfg(min_median_flow=20.0)
@@ -168,6 +170,7 @@ class TestStepEdgeCases:
         assert bool(outs[-1].initialized)
 
 
+@pytest.mark.slow
 class TestAttentionMatcherStep:
     def test_attention_matcher_tracks(self):
         """The step with matcher_type='attention' (identity-residual init)

@@ -145,9 +145,47 @@ def make_ba_chunk_fn(cfg: VOConfig, K):
                     cfg.ba_scale_prior_rel if cfg.ba_pose_correction else 0.0
                 ),
             )
+
+            # Per-landmark step acceptance (r4). The solve is damped GN
+            # with no line search; on-chip numerics can diverge it — a
+            # single NaN solve once POISONED the whole live map (every
+            # subsequent lookup NaN -> spurious full reset at a healthy
+            # frame, found on the 256-frame fixture, seed 0). Accept a
+            # refined landmark only if it is finite AND does not worsen
+            # its own masked window reprojection cost; rejected entries
+            # keep their tracked positions. This is the write-back
+            # analog of trust-region step acceptance.
+            def lm_cost(X):
+                R = prob.T_cw[:, :3, :3]
+                t = prob.T_cw[:, :3, 3]
+                pc = (
+                    jnp.einsum(
+                        "pij,lj->lpi", R, X, precision="highest"
+                    )
+                    + t[None]
+                )
+                z = jnp.maximum(pc[..., 2], 1e-6)
+                uv_hat = (
+                    pc[..., :2]
+                    / z[..., None]
+                    * jnp.array([Kj[0, 0], Kj[1, 1]])
+                    + jnp.array([Kj[0, 2], Kj[1, 2]])
+                )
+                err = jnp.sum((uv_hat - prob.uv) ** 2, axis=-1)
+                ok = prob.mask & (pc[..., 2] > 1e-6)
+                return jnp.sum(jnp.where(ok, err, 0.0), axis=1)  # (L,)
+
+            finite = jnp.isfinite(solved.X).all(axis=-1)
+            improved = lm_cost(
+                jnp.where(finite[:, None], solved.X, prob.X)
+            ) <= lm_cost(prob.X)
+            X_accept = jnp.where(
+                (finite & improved)[:, None], solved.X, prob.X
+            )
+
             # Refined landmarks feed subsequent PnP tracking (measured:
             # raises tracked-inlier counts).
-            new_map = write_back(state.map, chosen, solved.X)
+            new_map = write_back(state.map, chosen, X_accept)
             state = state._replace(map=new_map)
             if not cfg.ba_pose_correction:
                 # structure-only mode: poses keep coming from the tracker
@@ -163,6 +201,10 @@ def make_ba_chunk_fn(cfg: VOConfig, K):
             # keyframe, and store the refined poses back into the window
             # so the next solve warm-starts from them.
             T_wc_ref = jax.vmap(se3_inverse)(solved.T_cw)  # (P, 4, 4)
+            # same acceptance logic for the pose block: a non-finite
+            # solve must not corrupt the live pose chain
+            pose_ok = jnp.isfinite(solved.T_cw).all()
+            T_wc_ref = jnp.where(pose_ok, T_wc_ref, win.T_wc)
             # precision-pinned: bf16 4x4 products cost ~0.1 m at scale
             delta = jnp.matmul(
                 T_wc_ref[-1], se3_inverse(win.T_wc[-1]), precision="highest"

@@ -83,6 +83,13 @@ class VOConfig:
     attention_prune_to: int = 2048
     attention_exit_conf: float = 0.95
     attention_compute: str = "bf16"  # matmul compute dtype: "bf16"|"f32"
+    # Förstner structure-tensor subpixel refinement of SuperPoint
+    # detections (models/superpoint._forstner_refine). OFF by default:
+    # on the soft value-noise render texture it measured neutral-to-
+    # slightly-negative (p50 residual 1.59 vs 1.50 px, r4 —
+    # scripts/feat_quality.py); on corner-rich real imagery it is the
+    # standard cv2.cornerSubPix-class refinement and worth enabling.
+    superpoint_forstner: bool = False
     image_size: tuple = (1226, 370)  # (W, H) for kp normalization
 
     # -- initialization & keyframes (reference: src/config/config.py:25-28) -

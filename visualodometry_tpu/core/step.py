@@ -439,8 +439,12 @@ def make_step_fn(
                 )
 
             def run_pnp(state):
+                # previous pose seeds the hypothesis pool: smooth motion
+                # can then never total-fail on a single numerically bad
+                # frame (see solve_pnp_ransac docstring, r4)
                 pnp = solve_pnp_ransac(
-                    lm_pts, uv_curr, pnp_valid, K, cfg, k_pnp
+                    lm_pts, uv_curr, pnp_valid, K, cfg, k_pnp,
+                    T_init=se3_inverse(state.T_wc),
                 )
 
                 def pnp_failed(state):

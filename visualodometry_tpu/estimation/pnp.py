@@ -160,10 +160,21 @@ def solve_pnp_ransac(
     K: jnp.ndarray,
     cfg: VOConfig,
     key: jax.Array,
+    T_init: jnp.ndarray | None = None,
 ) -> PnPResult:
     """Batched DLT-PnP RANSAC over padded 2D-3D correspondences.
 
     pts3d: (N, 3) world points; uv: (N, 2) pixels; valid: (N,) live mask.
+
+    `T_init` (optional (4, 4) camera-from-world) joins the hypothesis
+    pool alongside the sampled DLT solves. Motivation (r4, measured):
+    on-chip numerics occasionally degrade EVERY minimal-sample DLT in a
+    frame (12x12 eigenvector path), turning one bad frame into a full
+    tracking reset (tests caught a frame with 235 healthy matches and 0
+    PnP inliers). Seeding the pool with the previous frame's pose makes
+    total failure impossible while motion is smooth, and changes
+    nothing when the DLT hypotheses are healthy — the best hypothesis
+    still wins by inlier count.
     """
     xy = pixels_to_normalized(uv, K)
     H = cfg.pnp_hypotheses
@@ -199,6 +210,10 @@ def solve_pnp_ransac(
     t_h = tn_h / scale - jnp.einsum(
         "hij,j->hi", R_h, centroid, precision="highest"
     )
+
+    if T_init is not None:
+        R_h = jnp.concatenate([R_h, T_init[None, :3, :3]], axis=0)
+        t_h = jnp.concatenate([t_h, T_init[None, :3, 3]], axis=0)
 
     err_sq, z = _reproj_err_sq(R_h, t_h, pts3d, uv, K)  # (H, N)
     thresh_sq = cfg.pnp_reproj_err * cfg.pnp_reproj_err

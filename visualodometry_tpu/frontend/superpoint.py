@@ -93,6 +93,7 @@ def make_superpoint_extract_fn(
             img,
             max_keypoints=cfg.padded_keypoints,
             threshold=cfg.superpoint_threshold,
+            forstner=cfg.superpoint_forstner,
         )
 
     return _extract

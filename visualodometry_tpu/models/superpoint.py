@@ -85,12 +85,72 @@ def nms_heatmap(heat: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
     return jnp.where(heat >= pooled, heat, 0.0)
 
 
+def _forstner_refine(img: jnp.ndarray, xi, yi, radius: int = 3):
+    """Batched Förstner subpixel corner localization.
+
+    For each integer detection (xi, yi), solves the weighted least-
+    squares intersection of the gradient lines in a (2r+1)^2 window:
+    p* = (sum g g^T)^-1 (sum g g^T x). Classical subpixel corner
+    refinement (the role cv2.cornerSubPix plays), done as batched
+    gathers + a closed-form 2x2 solve — no iteration. Returns (xs, ys)
+    float32 with the correction clamped to +-1.5 px and suppressed
+    where the structure tensor is degenerate (non-corner detections
+    keep their heatmap-refined position).
+
+    Motivation (r4, scripts/feat_quality.py): the learned detector's
+    frame-to-frame localization measured p50 1.50 px vs the SIFT
+    path's 0.18 px — detector-argmax jitter, not quantization, and the
+    dominant term of the SuperPoint pipeline's ATE gap. Snapping each
+    detection to the image's own gradient structure removes the
+    detector from the localization loop.
+    """
+    H, W = img.shape
+    gx = jnp.zeros_like(img)
+    gy = jnp.zeros_like(img)
+    gx = gx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    gy = gy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+
+    y0 = jnp.clip(yi, radius, H - radius - 1)
+    x0 = jnp.clip(xi, radius, W - radius - 1)
+    Sxx = jnp.zeros(xi.shape, jnp.float32)
+    Sxy = jnp.zeros(xi.shape, jnp.float32)
+    Syy = jnp.zeros(xi.shape, jnp.float32)
+    bx = jnp.zeros(xi.shape, jnp.float32)
+    by = jnp.zeros(xi.shape, jnp.float32)
+    for di in range(-radius, radius + 1):
+        for dj in range(-radius, radius + 1):
+            ggx = gx[y0 + di, x0 + dj]
+            ggy = gy[y0 + di, x0 + dj]
+            a = ggx * ggx
+            b = ggx * ggy
+            c = ggy * ggy
+            Sxx += a
+            Sxy += b
+            Syy += c
+            bx += a * dj + b * di
+            by += b * dj + c * di
+    det = Sxx * Syy - Sxy * Sxy
+    trace = Sxx + Syy
+    # corner-ness gate: well-conditioned structure tensor only
+    ok = det > 1e-4 * trace * trace + 1e-12
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    dx = (Syy * bx - Sxy * by) * inv_det
+    dy = (Sxx * by - Sxy * bx) * inv_det
+    shift = jnp.sqrt(dx * dx + dy * dy)
+    ok &= shift < 1.5
+    return (
+        jnp.where(ok, x0 + dx, jnp.float32(jnp.nan)),
+        jnp.where(ok, y0 + dy, jnp.float32(jnp.nan)),
+    )
+
+
 def select_keypoints(
     heat: jnp.ndarray,
     coarse_desc: jnp.ndarray,
     max_keypoints: int,
     threshold: float = 0.005,
     border: int = 4,
+    img: jnp.ndarray | None = None,
 ) -> Features:
     """Top-K over the NMS'd heatmap + bilinear descriptor sampling."""
     H, W = heat.shape
@@ -134,6 +194,13 @@ def select_keypoints(
     xs = x0.astype(jnp.float32) + jnp.clip(ox / wsum, -0.5, 0.5)
     ys = y0.astype(jnp.float32) + jnp.clip(oy / wsum, -0.5, 0.5)
 
+    if img is not None:
+        # Förstner structure-tensor refinement on the image itself;
+        # heatmap-refined position kept where the tensor is degenerate
+        fx, fy = _forstner_refine(img, xi, yi)
+        xs = jnp.where(jnp.isnan(fx), xs, fx)
+        ys = jnp.where(jnp.isnan(fy), ys, fy)
+
     # bilinear sample the coarse (H/8, W/8, 256) descriptor grid
     gx = xs / 8.0 - 0.5
     gy = ys / 8.0 - 0.5
@@ -172,6 +239,7 @@ def superpoint_extract(
     img: jnp.ndarray,
     max_keypoints: int,
     threshold: float = 0.005,
+    forstner: bool = False,
 ) -> Features:
     """(H, W) [0,1] image -> Features; H, W must be multiples of 8.
 
@@ -192,4 +260,7 @@ def superpoint_extract(
     det = det.astype(jnp.float32)
     desc = desc.astype(jnp.float32)
     heat = heatmap_from_logits(det[0])
-    return select_keypoints(heat, desc[0], max_keypoints, threshold)
+    return select_keypoints(
+        heat, desc[0], max_keypoints, threshold,
+        img=img if forstner else None,
+    )
