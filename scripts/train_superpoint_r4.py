@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
-_POOL = "/root/repo/.sp_vo_pool.npz"
+_POOL = "/root/repo/.sp_vo_pool_v2.npz"
 _WARM = (
     "/root/repo/visualodometry_tpu/models/weights/superpoint_textured.pkl"
 )
@@ -50,12 +50,10 @@ def main():
 
     from visualodometry_tpu.models.superpoint import SuperPointBackbone
     from visualodometry_tpu.models.train_superpoint import load_params
-    from visualodometry_tpu.models.train_superpoint_textured import (
-        loss_fn_h,
-    )
     from visualodometry_tpu.models.vo_distill import (
         build_vo_pool,
         homography_pool_batch,
+        loss_fn_sub,
         vo_pair_batch,
     )
 
@@ -77,7 +75,7 @@ def main():
     opt_state = tx.init(params)
 
     def loss2(params, batch):
-        return loss_fn_h(params, model, batch, desc_w=2.0)
+        return loss_fn_sub(params, model, batch, desc_w=2.0, sub_w=0.5)
 
     @jax.jit
     def train_step(params, opt_state, b):
@@ -113,7 +111,8 @@ def main():
         if i % 250 == 0 or i == steps - 1:
             print(
                 f"step {i}: loss {float(loss):.4f} "
-                f"det {float(aux[0]):.4f} desc {float(aux[1]):.4f}",
+                f"det {float(aux[0]):.4f} desc {float(aux[1]):.4f} "
+                f"sub {float(aux[2]):.4f}",
                 flush=True,
             )
         i += 1

@@ -22,31 +22,82 @@ from __future__ import annotations
 
 import os
 
+from typing import NamedTuple
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from visualodometry_tpu.models.train_superpoint_textured import TrainBatchH
+from visualodometry_tpu.models.train_superpoint_textured import (
+    TrainBatchH,
+    loss_fn_h,
+)
+
+
+class TrainBatchSub(NamedTuple):
+    """TrainBatchH + view-0 subpixel regression targets."""
+
+    h: TrainBatchH
+    sub0: jnp.ndarray  # (B, Hc, Wc, 2) subpixel (x, y) in-cell, [0, 8)
+    subv0: jnp.ndarray  # (B, Hc, Wc) bool
+
+
+def loss_fn_sub(params, model, batch: TrainBatchSub, desc_w=1.0, sub_w=0.25):
+    """Deep CE/InfoNCE loss + expected-coordinate subpixel regression.
+
+    The detector head's within-cell 8x8 softmax mass is pulled so its
+    EXPECTED position matches the SIFT teacher's subpixel location
+    (Huber, px units). This is the spatial-metric term the 65-way CE
+    lacks — CE scores a 1-px miss and a 7-px miss identically, which
+    capped learned-detector localization at ~1.5 px (r4 measurement,
+    scripts/feat_quality.py) while the SIFT path does 0.18 px.
+    """
+    total, aux = loss_fn_h(params, model, batch.h, desc_w=desc_w)
+    det0, _ = model.apply(params, batch.h.img0[..., None])
+    prob = jax.nn.softmax(det0, axis=-1)[..., :64]
+    mass = jnp.maximum(prob.sum(-1, keepdims=True), 1e-6)
+    p = prob / mass  # within-cell distribution
+    jj = jnp.arange(8, dtype=jnp.float32)
+    py = p.reshape(*p.shape[:-1], 8, 8)
+    ex = jnp.einsum("...ij,j->...", py, jj) + 0.5  # expected x in-cell
+    ey = jnp.einsum("...ij,i->...", py, jj) + 0.5
+    dx = ex - batch.sub0[..., 0]
+    dy = ey - batch.sub0[..., 1]
+    r = jnp.sqrt(dx * dx + dy * dy + 1e-9)
+    huber = jnp.where(r < 1.0, 0.5 * r * r, r - 0.5)
+    w = batch.subv0.astype(jnp.float32)
+    sub_loss = jnp.sum(huber * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return total + sub_w * sub_loss, (*aux, sub_loss)
 
 
 def sift_cell_labels(kps, resp, H, W):
-    """65-way cell labels from (subpixel) SIFT keypoints.
+    """65-way cell labels + SUBPIXEL targets from SIFT keypoints.
 
     kps: (N, 2) pixel (x, y); resp: (N,) strength for tie-breaks.
-    Returns (H//8, W//8) int32; cells without a keypoint get dustbin 64.
+    Returns (labels (H//8, W//8) int32 — dustbin 64 where empty,
+    sub (H//8, W//8, 2) float32 — the keypoint's subpixel (x, y)
+    WITHIN the cell in [0, 8); zeros where empty). The subpixel target
+    is what the expected-coordinate regression loss consumes
+    (train_superpoint_textured.loss_fn_sub) — the r3 65-way CE alone
+    treats every pixel miss equally, which capped the learned
+    detector's localization at ~1.5 px (scripts/feat_quality.py).
     """
     hc, wc = H // 8, W // 8
     labels = np.full((hc, wc), 64, np.int32)
+    sub = np.zeros((hc, wc, 2), np.float32)
     best = np.full((hc, wc), -np.inf, np.float32)
     xi = np.clip(np.round(kps[:, 0]).astype(int), 0, W - 1)
     yi = np.clip(np.round(kps[:, 1]).astype(int), 0, H - 1)
     ci, cj = yi // 8, xi // 8
-    sub = (yi % 8) * 8 + (xi % 8)
+    subcls = (yi % 8) * 8 + (xi % 8)
     for k in range(len(kps)):
         i, j = ci[k], cj[k]
         if i < hc and j < wc and resp[k] > best[i, j]:
             best[i, j] = resp[k]
-            labels[i, j] = sub[k]
-    return labels
+            labels[i, j] = subcls[k]
+            sub[i, j, 0] = np.clip(kps[k, 0] - j * 8.0, 0.0, 7.999)
+            sub[i, j, 1] = np.clip(kps[k, 1] - i * 8.0, 0.0, 7.999)
+    return labels, sub
 
 
 def build_vo_pool(
@@ -83,7 +134,7 @@ def build_vo_pool(
         sift_first_octave=-1,
         image_size=render_size,
     )
-    imgs, depths, labels, poses, sids = [], [], [], [], []
+    imgs, depths, labels, subs, poses, sids = [], [], [], [], [], []
     K = None
     for s in range(n_scenes):
         scene = make_scene(
@@ -103,7 +154,9 @@ def build_vo_pool(
             # response proxy: keep insertion strength by order (top-k
             # already sorts per octave; ties rare) — use descending rank
             resp = -np.arange(len(kps), dtype=np.float32)
-            labels.append(sift_cell_labels(kps, resp, H, W))
+            lab, sub = sift_cell_labels(kps, resp, H, W)
+            labels.append(lab)
+            subs.append(sub)
             imgs.append(img)
             depths.append(depth.astype(np.float32))
             poses.append(scene.poses_T_wc[f].astype(np.float32))
@@ -112,6 +165,7 @@ def build_vo_pool(
         imgs=np.stack(imgs),
         depth=np.stack(depths),
         labels=np.stack(labels),
+        labels_sub=np.stack(subs),
         T_wc=np.stack(poses),
         scene_id=np.asarray(sids, np.int32),
         K=np.asarray(K, np.float32),
@@ -141,6 +195,7 @@ def vo_pair_batch(
     H, W = hw
     hc, wc = H // 8, W // 8
     imgs, depth, labels = pool["imgs"], pool["depth"], pool["labels"]
+    labels_sub = pool["labels_sub"]
     T_wc, sid, K = pool["T_wc"], pool["scene_id"], pool["K"]
     FH, FW = imgs.shape[1:]
     fx, fy = K[0, 0], K[1, 1]
@@ -150,6 +205,7 @@ def vo_pair_batch(
     img1 = np.zeros((batch, H, W), np.float32)
     labels0 = np.zeros((batch, hc, wc), np.int32)
     labels1 = np.zeros((batch, hc, wc), np.int32)
+    sub0 = np.zeros((batch, hc, wc, 2), np.float32)
     cell_tgt = np.zeros((batch, hc, wc, 2), np.int32)
     cell_valid = np.zeros((batch, hc, wc), bool)
 
@@ -170,6 +226,9 @@ def vo_pair_batch(
         img1[b] = _jitter(rng, imgs[f1, oy : oy + H, ox : ox + W])
         labels0[b] = labels[f0, oy // 8 : oy // 8 + hc, ox // 8 : ox // 8 + wc]
         labels1[b] = labels[f1, oy // 8 : oy // 8 + hc, ox // 8 : ox // 8 + wc]
+        sub0[b] = labels_sub[
+            f0, oy // 8 : oy // 8 + hc, ox // 8 : ox // 8 + wc
+        ]
 
         # depth reprojection of cell centers: frame0 -> world -> frame1
         u = cj + ox
@@ -204,13 +263,17 @@ def vo_pair_batch(
         cell_tgt[b, ..., 0] = np.clip(ti, 0, hc - 1)
         cell_tgt[b, ..., 1] = np.clip(tj, 0, wc - 1)
 
-    return TrainBatchH(
-        img0=jnp.asarray(img0),
-        img1=jnp.asarray(img1),
-        labels0=jnp.asarray(labels0),
-        labels1=jnp.asarray(labels1),
-        cell_tgt=jnp.asarray(cell_tgt),
-        cell_valid=jnp.asarray(cell_valid),
+    return TrainBatchSub(
+        h=TrainBatchH(
+            img0=jnp.asarray(img0),
+            img1=jnp.asarray(img1),
+            labels0=jnp.asarray(labels0),
+            labels1=jnp.asarray(labels1),
+            cell_tgt=jnp.asarray(cell_tgt),
+            cell_valid=jnp.asarray(cell_valid),
+        ),
+        sub0=jnp.asarray(sub0),
+        subv0=jnp.asarray(labels0 != 64),
     )
 
 
@@ -235,11 +298,13 @@ def homography_pool_batch(
     H, W = hw
     hc, wc = H // 8, W // 8
     imgs, labels = pool["imgs"], pool["labels"]
+    labels_sub = pool["labels_sub"]
     FH, FW = imgs.shape[1:]
     img0 = np.zeros((batch, H, W), np.float32)
     img1 = np.zeros((batch, H, W), np.float32)
     labels0 = np.zeros((batch, hc, wc), np.int32)
     labels1 = np.zeros((batch, hc, wc), np.int32)
+    sub0 = np.zeros((batch, hc, wc, 2), np.float32)
     cell_tgt = np.zeros((batch, hc, wc, 2), np.int32)
     cell_valid = np.zeros((batch, hc, wc), bool)
     ci = (np.arange(hc) * 8 + 3.5)[:, None]
@@ -256,6 +321,9 @@ def homography_pool_batch(
         img0[b] = _jitter(rng, base)
         img1[b] = _jitter(rng, view1)
         labels0[b] = lab
+        sub0[b] = labels_sub[
+            f, oy // 8 : oy // 8 + hc, ox // 8 : ox // 8 + wc
+        ]
 
         # warp the label keypoints (cell + sub-cell offset) through H
         have = lab != 64
@@ -283,11 +351,15 @@ def homography_pool_batch(
         cell_tgt[b, ..., 0] = np.clip(ti, 0, hc - 1)
         cell_tgt[b, ..., 1] = np.clip(tj, 0, wc - 1)
 
-    return TrainBatchH(
-        img0=jnp.asarray(img0),
-        img1=jnp.asarray(img1),
-        labels0=jnp.asarray(labels0),
-        labels1=jnp.asarray(labels1),
-        cell_tgt=jnp.asarray(cell_tgt),
-        cell_valid=jnp.asarray(cell_valid),
+    return TrainBatchSub(
+        h=TrainBatchH(
+            img0=jnp.asarray(img0),
+            img1=jnp.asarray(img1),
+            labels0=jnp.asarray(labels0),
+            labels1=jnp.asarray(labels1),
+            cell_tgt=jnp.asarray(cell_tgt),
+            cell_valid=jnp.asarray(cell_valid),
+        ),
+        sub0=jnp.asarray(sub0),
+        subv0=jnp.asarray(labels0 != 64),
     )
