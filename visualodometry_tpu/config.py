@@ -80,7 +80,11 @@ class VOConfig:
     # .adaptive_match): keep the top-P slots per side after block 0
     # (0 = no pruning), and skip remaining blocks once this fraction of
     # points is confident about its assignment (0 = no early exit).
-    attention_prune_to: int = 2048
+    # Measured at the 4096-slot deployment point (idle chip, r4):
+    # prune 1024 -> 81.5 fps, 1536 -> 79.4, 2048 -> 76.5, all at
+    # IDENTICAL sim3 ATE 0.0124 / 0 resets — the pruned points are the
+    # ones the confidence head already called unmatchable.
+    attention_prune_to: int = 1024
     attention_exit_conf: float = 0.95
     attention_compute: str = "bf16"  # matmul compute dtype: "bf16"|"f32"
     # Förstner structure-tensor subpixel refinement of SuperPoint
