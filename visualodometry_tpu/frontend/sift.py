@@ -688,16 +688,13 @@ def compute_descriptors(
     B = jnp.maximum(0.0, 1.0 - do)
 
     # desc[k, p, o] = sum_s w[k,s] A[s,p] B[k,s,o] — one batched MXU
-    # matmul per keypoint. bf16 inputs with f32 accumulation: the
-    # contraction feeds an L2-normalize + 0.2-clip, which absorbs the
-    # ~3e-3 relative quantization (fixture ATE unchanged, r4); the
-    # MXU runs bf16 at 2x f32 throughput.
+    # matmul per keypoint. Stays f32: a bf16-input variant (2x MXU)
+    # was measured and REVERTED in r4 — the ~3e-3 descriptor
+    # quantization looks harmless on the 32-frame fixture but costs
+    # ~18% of tracked inliers on the 256-frame corridor and DOUBLES
+    # its pre-blackout drift (4.29 -> 8.46 m, seed 0).
     desc = jnp.einsum(
-        "ks,sp,kso->kpo",
-        w.astype(jnp.bfloat16),
-        A.astype(jnp.bfloat16),
-        B.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        "ks,sp,kso->kpo", w, A, B
     ).reshape(K, _DESC_GRID * _DESC_GRID * _DESC_BINS)
 
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
