@@ -193,3 +193,44 @@ class TestChunkedBA:
         # same accuracy class (measured: 0.24 vs 0.14 — the gap is the
         # scale-gauge slide documented above, not a wiring error)
         assert ate_on <= max(2.0 * ate_off, 0.6), (ate_on, ate_off)
+
+
+class TestWriteBackAcceptance:
+    """r4: the BA write-back must never poison the map (NaN or
+    cost-worsening landmark refinements keep their tracked values)."""
+
+    def _problem(self):
+        from visualodometry_tpu.ba import BAProblem
+
+        rng = np.random.default_rng(0)
+        P, L = 4, 32
+        K = jnp.asarray(
+            [[500.0, 0, 320], [0, 500.0, 180], [0, 0, 1]], jnp.float32
+        )
+        X = np.stack(
+            [rng.uniform(-5, 5, L), rng.uniform(-2, 2, L),
+             rng.uniform(8, 30, L)], 1,
+        ).astype(np.float32)
+        T_cw = np.broadcast_to(np.eye(4, dtype=np.float32), (P, 4, 4)).copy()
+        T_cw[:, 2, 3] = -1.0 * np.arange(P)
+        pc = np.einsum("pij,lj->lpi", T_cw[:, :3, :3], X) + T_cw[:, :3, 3]
+        uv = pc[..., :2] / pc[..., 2:] * 500.0 + [320, 180]
+        return BAProblem(
+            T_cw=jnp.asarray(T_cw), X=jnp.asarray(X),
+            uv=jnp.asarray(uv.astype(np.float32)),
+            mask=jnp.asarray(pc[..., 2] > 1.0), K=K,
+        ), X
+
+    def test_nan_and_worse_rejected_better_accepted(self):
+        from visualodometry_tpu.ba.inloop import accept_refined_landmarks
+
+        prob, X = self._problem()
+        X_new = X.copy()
+        X_new[0] = np.nan                      # diverged solve entry
+        X_new[1] += np.float32([5.0, 0, 0])    # cost-worsening entry
+        # entries 2.. unchanged -> equal cost -> accepted (<=)
+        out = np.asarray(accept_refined_landmarks(prob, jnp.asarray(X_new)))
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out[0], X[0])       # NaN rejected
+        np.testing.assert_allclose(out[1], X[1])       # worse rejected
+        np.testing.assert_allclose(out[2:], X_new[2:])  # rest kept

@@ -265,3 +265,69 @@ class TestMatcherTraining:
             feats = render_features(scene, f, 128, rng)
             state, out = step(state, feats)
         assert np.isfinite(np.asarray(out.T_wc)).all()
+
+
+class TestAdaptiveMatcher:
+    """r4 adaptive inference path (LightGlue width pruning + early exit)."""
+
+    def _v2(self):
+        import pickle
+        from pathlib import Path
+
+        from visualodometry_tpu.models.attention_matcher import (
+            AttentionMatcher,
+        )
+
+        p = (
+            Path("visualodometry_tpu/models/weights")
+            / "attention_matcher_sift_v2.pkl"
+        )
+        if not p.exists():
+            pytest.skip("v2 checkpoint not bundled")
+        with open(p, "rb") as f:
+            params = jax.tree.map(jnp.asarray, pickle.load(f))
+        return AttentionMatcher(depth=4, per_layer_heads=True), params
+
+    def _problem(self):
+        # in-distribution data: a real SIFT homography pair from the
+        # matcher training recipe (models/matcher_data.py)
+        from visualodometry_tpu.models.matcher_data import (
+            build_sift_match_dataset,
+        )
+
+        rng = np.random.default_rng(21)
+        data = build_sift_match_dataset(rng, n_pairs=2, log_every=1000)
+        b = 0
+        return (
+            jnp.asarray(data["kps0"][b]),
+            jnp.asarray(data["desc0"][b]),
+            jnp.asarray(data["valid0"][b]),
+            jnp.asarray(data["kps1"][b]),
+            jnp.asarray(data["desc1"][b]),
+            jnp.asarray(data["valid1"][b]),
+            np.asarray(data["gt_idx"][b]),
+        )
+
+    def test_pruned_matches_subset_and_correct(self):
+        from visualodometry_tpu.models.attention_matcher import (
+            adaptive_match,
+        )
+
+        model, params = self._v2()
+        kps0, d0, v0, kps1, d1, v1, gt = self._problem()
+        res_full = adaptive_match(
+            model, params, kps0, d0, v0, kps1, d1, v1, prune_to=0
+        )
+        res_pruned = adaptive_match(
+            model, params, kps0, d0, v0, kps1, d1, v1,
+            prune_to=d0.shape[0] // 2, exit_conf=0.95,
+        )
+        for res in (res_full, res_pruned):
+            ok = np.asarray(res.valid)
+            idx = np.asarray(res.idx)
+            assert ok.sum() >= 30, ok.sum()
+            correct = (gt[ok.nonzero()[0]] == idx[ok]).mean()
+            assert correct > 0.85, correct
+        # pruned-path indices stay in range after the scatter-back
+        assert np.asarray(res_pruned.idx).min() >= 0
+        assert np.asarray(res_pruned.idx).max() < d0.shape[0]

@@ -82,6 +82,42 @@ def push_frame(
     )
 
 
+def accept_refined_landmarks(prob, X_new: jnp.ndarray) -> jnp.ndarray:
+    """Per-landmark step acceptance for the BA write-back (r4).
+
+    The solve is damped GN with no line search; on-chip numerics can
+    diverge it — a single NaN solve once POISONED the whole live map
+    (every subsequent lookup NaN -> spurious full reset at a healthy
+    frame, found on the 256-frame fixture, seed 0). Accept a refined
+    landmark only if it is finite AND does not worsen its own masked
+    window reprojection cost; rejected entries keep their tracked
+    positions — the write-back analog of trust-region step acceptance.
+    """
+    Kj = prob.K
+
+    def lm_cost(X):
+        R = prob.T_cw[:, :3, :3]
+        t = prob.T_cw[:, :3, 3]
+        pc = (
+            jnp.einsum("pij,lj->lpi", R, X, precision="highest")
+            + t[None]
+        )
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        uv_hat = (
+            pc[..., :2] / z[..., None] * jnp.array([Kj[0, 0], Kj[1, 1]])
+            + jnp.array([Kj[0, 2], Kj[1, 2]])
+        )
+        err = jnp.sum((uv_hat - prob.uv) ** 2, axis=-1)
+        ok = prob.mask & (pc[..., 2] > 1e-6)
+        return jnp.sum(jnp.where(ok, err, 0.0), axis=1)  # (L,)
+
+    finite = jnp.isfinite(X_new).all(axis=-1)
+    improved = lm_cost(
+        jnp.where(finite[:, None], X_new, prob.X)
+    ) <= lm_cost(prob.X)
+    return jnp.where((finite & improved)[:, None], X_new, prob.X)
+
+
 def make_ba_chunk_fn(cfg: VOConfig, K):
     """(state, window, feats_stack (C,...), outs (C,...))
     -> (state, window, delta (4, 4)).
@@ -146,42 +182,7 @@ def make_ba_chunk_fn(cfg: VOConfig, K):
                 ),
             )
 
-            # Per-landmark step acceptance (r4). The solve is damped GN
-            # with no line search; on-chip numerics can diverge it — a
-            # single NaN solve once POISONED the whole live map (every
-            # subsequent lookup NaN -> spurious full reset at a healthy
-            # frame, found on the 256-frame fixture, seed 0). Accept a
-            # refined landmark only if it is finite AND does not worsen
-            # its own masked window reprojection cost; rejected entries
-            # keep their tracked positions. This is the write-back
-            # analog of trust-region step acceptance.
-            def lm_cost(X):
-                R = prob.T_cw[:, :3, :3]
-                t = prob.T_cw[:, :3, 3]
-                pc = (
-                    jnp.einsum(
-                        "pij,lj->lpi", R, X, precision="highest"
-                    )
-                    + t[None]
-                )
-                z = jnp.maximum(pc[..., 2], 1e-6)
-                uv_hat = (
-                    pc[..., :2]
-                    / z[..., None]
-                    * jnp.array([Kj[0, 0], Kj[1, 1]])
-                    + jnp.array([Kj[0, 2], Kj[1, 2]])
-                )
-                err = jnp.sum((uv_hat - prob.uv) ** 2, axis=-1)
-                ok = prob.mask & (pc[..., 2] > 1e-6)
-                return jnp.sum(jnp.where(ok, err, 0.0), axis=1)  # (L,)
-
-            finite = jnp.isfinite(solved.X).all(axis=-1)
-            improved = lm_cost(
-                jnp.where(finite[:, None], solved.X, prob.X)
-            ) <= lm_cost(prob.X)
-            X_accept = jnp.where(
-                (finite & improved)[:, None], solved.X, prob.X
-            )
+            X_accept = accept_refined_landmarks(prob, solved.X)
 
             # Refined landmarks feed subsequent PnP tracking (measured:
             # raises tracked-inlier counts).
