@@ -267,6 +267,7 @@ class TestMatcherTraining:
         assert np.isfinite(np.asarray(out.T_wc)).all()
 
 
+@pytest.mark.slow
 class TestAdaptiveMatcher:
     """r4 adaptive inference path (LightGlue width pruning + early exit)."""
 
