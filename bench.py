@@ -214,7 +214,7 @@ def bench_long_sequence(cfg) -> dict:
     # the cv2 loop instead tracks a wrecked map without ever resetting)
     explained = np.zeros(len(est), bool)
     for b0, b1 in blanks:
-        explained[b0 : min(b1 + 45, len(est))] = True
+        explained[b0 : min(b1 + 60, len(est))] = True
     unexplained = int((~explained[reset_frames]).sum())
     segs = segment_ate(est, gt, resets)
     map_wrapped = bool(int(state[0].map.next_id if isinstance(state, tuple)

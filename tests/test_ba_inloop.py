@@ -227,10 +227,11 @@ class TestWriteBackAcceptance:
         prob, X = self._problem()
         X_new = X.copy()
         X_new[0] = np.nan                      # diverged solve entry
-        X_new[1] += np.float32([5.0, 0, 0])    # cost-worsening entry
-        # entries 2.. unchanged -> equal cost -> accepted (<=)
+        X_new[1] += np.float32([8.0, 0, 0])    # blown-up entry (>>4x)
+        X_new[2] += np.float32([0.01, 0, 0])   # mild refinement: kept
+        # entries 3.. unchanged -> equal cost -> accepted
         out = np.asarray(accept_refined_landmarks(prob, jnp.asarray(X_new)))
         assert np.isfinite(out).all()
-        np.testing.assert_allclose(out[0], X[0])       # NaN rejected
-        np.testing.assert_allclose(out[1], X[1])       # worse rejected
-        np.testing.assert_allclose(out[2:], X_new[2:])  # rest kept
+        np.testing.assert_allclose(out[0], X[0])        # NaN rejected
+        np.testing.assert_allclose(out[1], X[1])        # blow-up rejected
+        np.testing.assert_allclose(out[2:], X_new[2:])  # refinements kept

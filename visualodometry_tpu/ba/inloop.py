@@ -83,15 +83,22 @@ def push_frame(
 
 
 def accept_refined_landmarks(prob, X_new: jnp.ndarray) -> jnp.ndarray:
-    """Per-landmark step acceptance for the BA write-back (r4).
+    """Per-landmark divergence guard for the BA write-back (r4).
 
     The solve is damped GN with no line search; on-chip numerics can
     diverge it — a single NaN solve once POISONED the whole live map
     (every subsequent lookup NaN -> spurious full reset at a healthy
     frame, found on the 256-frame fixture, seed 0). Accept a refined
-    landmark only if it is finite AND does not worsen its own masked
-    window reprojection cost; rejected entries keep their tracked
-    positions — the write-back analog of trust-region step acceptance.
+    landmark only if it is finite AND its masked window reprojection
+    cost does not BLOW UP (4x) against the tracked poses.
+
+    Why the loose 4x bound and not strict non-worsening: ba_solve
+    refines poses AND structure together — solved.X is optimal for the
+    REFINED poses, so a strictly-improving criterion against the
+    tracked poses rejects exactly the refinements that help (measured:
+    strict acceptance cost 1.2-3.9 m of 256-frame drift by blocking
+    the structure-only write-back's benefit). NaN/Inf and genuinely
+    diverged entries still fail the 4x bound.
     """
     Kj = prob.K
 
@@ -112,10 +119,10 @@ def accept_refined_landmarks(prob, X_new: jnp.ndarray) -> jnp.ndarray:
         return jnp.sum(jnp.where(ok, err, 0.0), axis=1)  # (L,)
 
     finite = jnp.isfinite(X_new).all(axis=-1)
-    improved = lm_cost(
-        jnp.where(finite[:, None], X_new, prob.X)
-    ) <= lm_cost(prob.X)
-    return jnp.where((finite & improved)[:, None], X_new, prob.X)
+    c_new = lm_cost(jnp.where(finite[:, None], X_new, prob.X))
+    c_old = lm_cost(prob.X)
+    ok = finite & (c_new <= 4.0 * c_old + 1e-3)
+    return jnp.where(ok[:, None], X_new, prob.X)
 
 
 def make_ba_chunk_fn(cfg: VOConfig, K):

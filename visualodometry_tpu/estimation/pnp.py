@@ -211,15 +211,31 @@ def solve_pnp_ransac(
         "hij,j->hi", R_h, centroid, precision="highest"
     )
 
-    if T_init is not None:
-        R_h = jnp.concatenate([R_h, T_init[None, :3, :3]], axis=0)
-        t_h = jnp.concatenate([t_h, T_init[None, :3, 3]], axis=0)
-
     err_sq, z = _reproj_err_sq(R_h, t_h, pts3d, uv, K)  # (H, N)
     thresh_sq = cfg.pnp_reproj_err * cfg.pnp_reproj_err
     inlier_mat = (err_sq < thresh_sq) & (z > 0) & valid[None, :]
     counts = jnp.sum(inlier_mat, axis=1)
     best = jnp.argmax(counts)
+
+    if T_init is not None:
+        # FALLBACK only, never a competitor: a drifting map makes the
+        # previous pose out-score fresh DLT hypotheses frame after
+        # frame (self-reinforcing drift momentum — letting it compete
+        # outright regressed 256-frame drift 5.1 -> 8.9 m on one seed,
+        # r4). It steps in only when the sampled hypotheses are
+        # degenerate (under half its inlier support) — the numerical-
+        # failure rescue it exists for.
+        err_i, z_i = _reproj_err_sq(
+            T_init[:3, :3], T_init[:3, 3], pts3d, uv, K
+        )
+        inl_i = (err_i < thresh_sq) & (z_i > 0) & valid
+        count_i = jnp.sum(inl_i)
+        use_init = counts[best] < jnp.maximum(6, count_i // 2)
+        R_h = jnp.concatenate([R_h, T_init[None, :3, :3]], axis=0)
+        t_h = jnp.concatenate([t_h, T_init[None, :3, 3]], axis=0)
+        inlier_mat = jnp.concatenate([inlier_mat, inl_i[None]], axis=0)
+        counts = jnp.concatenate([counts, count_i[None]], axis=0)
+        best = jnp.where(use_init, counts.shape[0] - 1, best)
 
     # Robust local optimization: Huber-IRLS over ALL valid
     # correspondences, initialized from the best hypothesis. A
