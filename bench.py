@@ -217,8 +217,10 @@ def bench_long_sequence(cfg) -> dict:
         explained[b0 : min(b1 + 60, len(est))] = True
     unexplained = int((~explained[reset_frames]).sum())
     segs = segment_ate(est, gt, resets)
-    map_wrapped = bool(int(state[0].map.next_id if isinstance(state, tuple)
-                           else state.map.next_id) > cfg.map_capacity)
+    # VOState is itself a NamedTuple; the BA runner's carry is a plain
+    # (state, window) 2-tuple — distinguish by the map attribute
+    st = state if hasattr(state, "map") else state[0]
+    map_wrapped = bool(int(st.map.next_id) > cfg.map_capacity)
     return {
         "fps_long": fps,
         "long_frames": len(u8),
@@ -592,7 +594,7 @@ def main():
     # after one short retry instead of burning the driver's budget; a
     # partially-successful run earns more retries for the full result.
     stages: dict = {}
-    got = _run_child(2400)
+    got = _run_child(3600)
     stages.update(got)
     if "fps_tpu" not in stages:
         retries = (1200, 900) if stages else (600,)
@@ -601,6 +603,13 @@ def main():
             stages = {**got, **stages}
             if "fps_tpu" in stages:
                 break
+    elif "fps_attention" not in stages:
+        # core succeeded but the child timed out in a later stage
+        # (marathon upload / per-config recompiles): one follow-up pass
+        # — the compile caches make the repeated stages cheap, and
+        # already-captured numbers win merge conflicts
+        got = _run_child(3600)
+        stages = {**got, **stages}
 
     # CPU anchor: the reference's actual loop on the same frames. Two
     # runs, best fps kept — the anchor is host-load sensitive (measured
