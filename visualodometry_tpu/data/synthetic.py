@@ -421,9 +421,23 @@ def make_marathon_fixture(
     """
     rng = np.random.default_rng(seed)
     t = np.arange(num_frames, dtype=np.float64)
-    period = num_frames / 3.0
-    # yaw/frame = rate * speed -> peak ~0.9 deg/frame at speed 2.4
-    rate = 0.0065 * np.sin(2.0 * np.pi * t / period) * (t > 40)
+    # Bounded-excursion S-curves: yaw(t) = A sin(2 pi t / P) with
+    # A = 0.12 rad and P = 96 keeps the lateral excursion ~9 m — inside
+    # the renderer's corridor walls at +-14 (the first marathon cut
+    # integrated its yaw to ~150 deg and drove the camera 1.2 km out of
+    # the corridor; 312 tracking resets were the fixture's fault, not
+    # the engine's). Peak yaw rate 0.45 deg/frame stays above the
+    # turn-smoothing threshold, and 1024 frames span ~10 full S-curves.
+    period = 96.0
+    A = 0.08  # peak x excursion 11.6 m < wall at 14 (simulated)
+    # gate at a full period (cos phase = 1, yaw integral starts at 0):
+    # any mid-cycle gate leaves a constant heading bias that integrates
+    # to a hundred-metre lateral runaway over 1024 frames
+    rate = (
+        A * (2.0 * np.pi / period) / speed
+        * np.cos(2.0 * np.pi * t / period)
+        * (t >= period)
+    )
     scene = make_scene(
         rng,
         num_frames=num_frames,
