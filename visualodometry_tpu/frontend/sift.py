@@ -66,23 +66,20 @@ def _extrema_mask(dogs: jnp.ndarray, thr: float, edge_thresh: float):
     dogs: (S+2, H, W). Returns (mask, score): (S, H, W) each.
     """
     S2, H, W = dogs.shape
-    # 3x3x3 max/min over (depth, h, w) with SAME padding in h/w, VALID in s
-    mx = lax.reduce_window(
-        dogs,
-        -jnp.inf,
-        lax.max,
-        window_dimensions=(3, 3, 3),
-        window_strides=(1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1)),
-    )  # (S, H, W)
-    mn = lax.reduce_window(
-        dogs,
-        jnp.inf,
-        lax.min,
-        window_dimensions=(3, 3, 3),
-        window_strides=(1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1)),
-    )
+    # 3x3x3 max/min over (depth, h, w) with SAME padding in h/w, VALID
+    # in s — as SEPARABLE shifted compares instead of reduce_window:
+    # bit-identical output (max/min factorize over axes), but each pass
+    # is 2 fused elementwise ops on the VPU instead of a 27-tap window
+    # reduction (r4: detect stage 1.7 -> sub-ms on chip).
+    def _sep3(a, op, fill):
+        a = op(op(a[:-2], a[1:-1]), a[2:])  # s axis, VALID
+        p = jnp.pad(a, ((0, 0), (1, 1), (0, 0)), constant_values=fill)
+        a = op(op(p[:, :-2], p[:, 1:-1]), p[:, 2:])  # h axis, SAME
+        p = jnp.pad(a, ((0, 0), (0, 0), (1, 1)), constant_values=fill)
+        return op(op(p[:, :, :-2], p[:, :, 1:-1]), p[:, :, 2:])
+
+    mx = _sep3(dogs, jnp.maximum, -jnp.inf)  # (S, H, W)
+    mn = _sep3(dogs, jnp.minimum, jnp.inf)
     center = dogs[1:-1]
     is_max = (center >= mx) & (center > thr)
     is_min = (center <= mn) & (center < -thr)
