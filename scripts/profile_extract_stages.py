@@ -93,6 +93,34 @@ def main():
             acc += jnp.sum(patches.astype(jnp.float32))
         return acc
 
+    def with_orientation(img):
+        """everything except descriptors (splits orient vs desc)."""
+        img = img.astype(jnp.float32) * (1.0 / 255.0)
+        gauss, dogs = build_pyramid(
+            img, cfg.sift_num_octaves, S, sigma0=cfg.sift_sigma
+        )
+        P = -(-(2 * (fs._patch_margin(cfg) + 1)) // 8) * 8
+        from visualodometry_tpu.ops.patches import extract_patches
+
+        acc = jnp.float32(0)
+        for o in range(cfg.sift_num_octaves):
+            kps = fs.detect_octave(dogs[o], cfg, budgets[o])
+            _, H_o, W_o = gauss[o].shape
+            wide = ((P + 127) // 128) * 128 + 128
+            h_pad = -(-H_o // 8) * 8
+            w_pad = max(-(-W_o // 128) * 128, wide)
+            field = fs._pack_gradients_planar(gauss[o], h_pad, w_pad)
+            y0, x0 = fs._patch_origins(kps, H_o, W_o, h_pad, P)
+            lvl = jnp.clip(kps.scale_idx, 0, field.shape[0] - 1)
+            patches = fs._unpack_patches(extract_patches(
+                field, lvl, y0, x0, patch_y=P + 8, patch_x=P
+            ))
+            sampler = fs._make_patch_sampler(patches, y0, x0, H_o, W_o)
+            hist = fs.orientation_histogram(gauss[o], kps, None, sampler)
+            theta, _ = fs._hist_peak_angle(hist, jnp.argmax(hist, axis=-1))
+            acc += jnp.sum(theta)
+        return acc
+
     def full(img):
         f = fs.extract_sift(img, cfg)
         return jnp.sum(f.desc) + jnp.sum(f.kps)
@@ -101,6 +129,7 @@ def main():
         ("pyramid", pyramid_only),
         ("pyramid+detect", detect_only),
         ("pyr+det+pack+patchDMA", with_patches),
+        ("pyr+det+patch+orient", with_orientation),
         ("full extract_sift", full),
     ]:
         fn = jax.jit(lambda b, body=body: jax.lax.map(body, b))
