@@ -623,6 +623,26 @@ def main():
     ref_stats["fps"] = max(ref_stats["fps"], ref_stats2["fps"])
     ref_ate = float(ate_rmse(ref_pos[8:], gt[8:], align="sim3"))
 
+    # marathon anchor: the reference loop on the SAME 1024 frames (r4
+    # measurement: it sails through blackouts silently tracking wrecked
+    # maps — one reset across three, whole-run ATE in the hundreds)
+    marathon_ref: dict = {}
+    try:
+        u8_m, gt_m, K_m, _ = _load_fixture_long()
+        ref_cfg_m = _reference_cfg().replace(global_scale=2.4)
+        pos_m, stats_m = run_reference_pipeline(
+            u8_m, np.asarray(K_m, np.float64), ref_cfg_m
+        )
+        marathon_ref = {
+            "long_seq_ref_fps": round(stats_m["fps"], 2),
+            "long_seq_ref_resets": stats_m.get("resets"),
+            "long_seq_ref_whole_ate_m": round(
+                float(ate_rmse(pos_m[8:], gt_m[8:], align="sim3")), 1
+            ),
+        }
+    except Exception:
+        pass  # anchor enrichment only; never blocks the bench
+
     if "fps_tpu" not in stages:
         # no full-pipeline number this run: fall back to the committed
         # last-good measurement (explicitly marked stale), plus any
@@ -694,9 +714,11 @@ def main():
             else None
         ),
         "long_map_wrapped": stages.get("long_map_wrapped"),
+        **marathon_ref,
         "kittigates_keyframes": stages.get("kittigates_keyframes"),
         "kittigates_frames": stages.get("kittigates_frames"),
         "kittigates_resets": stages.get("kittigates_resets"),
+        "kittigates_tracking": stages.get("kittigates_tracking"),
         "kittigates_segment_ate_max": (
             round(stages["kittigates_segment_ate_max"], 3)
             if stages.get("kittigates_segment_ate_max") is not None
