@@ -229,3 +229,48 @@ class TestPnP:
             )
         )
         assert ang < 0.05
+
+
+class TestP3P:
+    """r4: Grunert minimal solver (cv2.solvePnPRansac's class)."""
+
+    def _scene(self, rng, n=200, outlier_frac=0.25):
+        from visualodometry_tpu.geometry.so3 import so3_exp
+
+        w = 0.2 * rng.standard_normal(3).astype(np.float32)
+        R = np.asarray(so3_exp(jnp.asarray(w)))
+        t = np.asarray([0.3, -0.2, 0.5], np.float32)
+        X = np.stack(
+            [rng.uniform(-5, 5, n), rng.uniform(-3, 3, n),
+             rng.uniform(6, 30, n)], 1,
+        ).astype(np.float32)
+        K = np.asarray(
+            [[500.0, 0, 320], [0, 500.0, 180], [0, 0, 1]], np.float32
+        )
+        pc = X @ R.T + t
+        uv = pc[:, :2] / pc[:, 2:] * 500.0 + [320, 180]
+        uv += rng.normal(0, 0.3, uv.shape)
+        n_out = int(outlier_frac * n)
+        uv[:n_out] = rng.uniform([0, 0], [640, 360], (n_out, 2))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3], T[:3, 3] = R, t
+        return X, uv.astype(np.float32), K, T
+
+    def test_p3p_ransac_recovers_pose_with_outliers(self, rng):
+        from visualodometry_tpu.config import VOConfig
+        from visualodometry_tpu.estimation.pnp import solve_pnp_ransac
+
+        X, uv, K, T_true = self._scene(rng)
+        cfg = VOConfig(
+            pnp_solver="p3p", pnp_hypotheses=128, pnp_reproj_err=2.0
+        )
+        res = solve_pnp_ransac(
+            jnp.asarray(X), jnp.asarray(uv),
+            jnp.ones(len(X), bool), jnp.asarray(K), cfg,
+            jax.random.key(0),
+        )
+        assert bool(res.ok)
+        T = np.asarray(res.T_cw)
+        assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.02
+        assert np.linalg.norm(T[:3, :3] - T_true[:3, :3]) < 0.01
+        assert int(res.num_inliers) > 120

@@ -140,7 +140,12 @@ class VOConfig:
     essential_hypotheses: int = 512  # batched RANSAC minimal samples
     essential_solver: str = "5point"  # "5point" (Nistér, = cv2.findEssentialMat's
     #                                   algorithm, planar-safe) | "8point"
-    pnp_hypotheses: int = 512  # batched DLT-PnP RANSAC hypotheses
+    pnp_hypotheses: int = 512  # batched PnP RANSAC hypotheses
+    # "p3p": Grunert minimal solver (cv2.solvePnPRansac's class —
+    # algebraically exact on its 3 points, 4 candidate poses per
+    # sample, estimation/p3p.py); "dlt": 6-point least-squares DLT
+    # (r1-r4 default)
+    pnp_solver: str = "dlt"
     pnp_refine_iters: int = 8  # damped GN iterations, cold-start round
     # (later IRLS rounds use a third — warm restarts re-converge fast;
     # multi-seed fixture ATE unchanged at 8 vs 10, r3)

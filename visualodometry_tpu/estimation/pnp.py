@@ -178,6 +178,30 @@ def solve_pnp_ransac(
     """
     xy = pixels_to_normalized(uv, K)
     H = cfg.pnp_hypotheses
+
+    if cfg.pnp_solver == "p3p":
+        from visualodometry_tpu.estimation.p3p import p3p_grunert
+
+        idx3 = sample_valid_indices(key, valid, H, 3)  # (H, 3)
+        R4, t4, ok4 = p3p_grunert(pts3d[idx3], xy[idx3])
+        R_h = R4.reshape(-1, 3, 3)  # (4H, 3, 3)
+        t_h = t4.reshape(-1, 3)
+        hyp_ok = ok4.reshape(-1)
+        err_sq, z = _reproj_err_sq(R_h, t_h, pts3d, uv, K)
+        thresh_sq = cfg.pnp_reproj_err * cfg.pnp_reproj_err
+        inlier_mat = (
+            (err_sq < thresh_sq)
+            & (z > 0)
+            & valid[None, :]
+            & hyp_ok[:, None]
+        )
+        counts = jnp.sum(inlier_mat, axis=1)
+        best = jnp.argmax(counts)
+        return _finish_pnp(
+            R_h, t_h, inlier_mat, counts, best, pts3d, uv, valid,
+            K, cfg, T_init,
+        )
+
     idx = sample_valid_indices(key, valid, H, 6)  # (H, 6)
 
     # Hartley-style conditioning of the 3D points (shared across hypotheses)
@@ -217,6 +241,18 @@ def solve_pnp_ransac(
     counts = jnp.sum(inlier_mat, axis=1)
     best = jnp.argmax(counts)
 
+    return _finish_pnp(
+        R_h, t_h, inlier_mat, counts, best, pts3d, uv, valid, K, cfg,
+        T_init,
+    )
+
+
+def _finish_pnp(
+    R_h, t_h, inlier_mat, counts, best, pts3d, uv, valid, K, cfg, T_init
+) -> PnPResult:
+    """Shared RANSAC tail: T_init fallback + truncated-Huber IRLS local
+    optimization + robust-cost safety fallback (see inline comments)."""
+    thresh_sq = cfg.pnp_reproj_err * cfg.pnp_reproj_err
     if T_init is not None:
         # FALLBACK only, never a competitor: a drifting map makes the
         # previous pose out-score fresh DLT hypotheses frame after
