@@ -46,7 +46,7 @@ N_SLOTS = 4096
 IMG_SIZE = (1226, 370)
 CHUNK = 8
 N_FRAMES = CHUNK * 4
-N_FRAMES_LONG = 1024  # marathon stage: 3 S-curve periods, 3 blackouts
+N_FRAMES_LONG = 1024  # marathon stage: ~10.7 S-curve periods, 3 blackouts
 _FIXTURE = "/root/repo/.bench_fixture_textured.npz"
 _FIXTURE_LONG = "/root/repo/.bench_fixture_marathon.npz"
 _LAST_GOOD = "/root/repo/BENCH_LAST_GOOD.json"
@@ -153,7 +153,7 @@ def _load_fixture():
 
 
 def _load_fixture_long():
-    """1024-frame full-res marathon: 3 S-curve periods, 3 blackouts.
+    """1024-frame full-res marathon: ~10.7 S-curve periods, 3 blackouts.
 
     The reference runs thousands-frame KITTI sequences
     (src/main.py:58-64); this is the bench's long-horizon stage at the

@@ -235,3 +235,17 @@ class TestWriteBackAcceptance:
         np.testing.assert_allclose(out[0], X[0])        # NaN rejected
         np.testing.assert_allclose(out[1], X[1])        # blow-up rejected
         np.testing.assert_allclose(out[2:], X_new[2:])  # refinements kept
+
+    def test_behind_all_cameras_rejected(self):
+        """Cheirality hole (ADVICE r4 #2): a refinement that pushes a
+        landmark behind EVERY window camera zeroes its masked cost and
+        used to be accepted; the in-front-count guard must reject it."""
+        from visualodometry_tpu.ba.inloop import accept_refined_landmarks
+
+        prob, X = self._problem()
+        X_new = X.copy()
+        X_new[0] = np.float32([0.0, 0.0, -50.0])  # behind all 4 cameras
+        X_new[5] = np.float32([2.0, 0.0, 9.0])    # in-front but off: cost gate
+        out = np.asarray(accept_refined_landmarks(prob, jnp.asarray(X_new)))
+        np.testing.assert_allclose(out[0], X[0])  # cheirality rejected
+        np.testing.assert_allclose(out[1:5], X_new[1:5])

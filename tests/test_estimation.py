@@ -274,3 +274,23 @@ class TestP3P:
         assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.02
         assert np.linalg.norm(T[:3, :3] - T_true[:3, :3]) < 0.01
         assert int(res.num_inliers) > 120
+
+    def test_kabsch3_exact_on_elongated_triples(self, rng):
+        """ADVICE r4 #1: the 3-point alignment must not square the
+        condition number — triad composition is exact (f32 roundoff)
+        even on 50x-elongated congruent triples where svd3-of-H^T H
+        failed ~30% of the time."""
+        from visualodometry_tpu.estimation.p3p import _kabsch3
+        from visualodometry_tpu.geometry.so3 import so3_exp
+
+        B = 256
+        w = rng.normal(size=(B, 3)).astype(np.float32)
+        R = np.asarray(jax.vmap(so3_exp)(jnp.asarray(w)))
+        t = rng.normal(size=(B, 3)).astype(np.float32)
+        X = rng.normal(size=(B, 3, 3)).astype(np.float32)
+        X[..., 0] *= 50.0  # elongated geometry
+        Pc = np.einsum("bij,bnj->bni", R, X) + t[:, None]
+        Rh, th = _kabsch3(jnp.asarray(Pc), jnp.asarray(X))
+        r_err = np.linalg.norm(np.asarray(Rh) - R, axis=(-2, -1))
+        t_err = np.linalg.norm(np.asarray(th) - t, axis=-1)
+        assert float((r_err + t_err).max()) < 0.02

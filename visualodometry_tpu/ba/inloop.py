@@ -116,15 +116,19 @@ def accept_refined_landmarks(prob, X_new: jnp.ndarray) -> jnp.ndarray:
         )
         err = jnp.sum((uv_hat - prob.uv) ** 2, axis=-1)
         ok = prob.mask & (pc[..., 2] > 1e-6)
-        return jnp.sum(jnp.where(ok, err, 0.0), axis=1)  # (L,)
+        # cost (behind-camera obs masked) AND in-front count: the mask
+        # alone has a cheirality hole — a diverged solve that pushes a
+        # landmark behind EVERY window camera scores cost 0 and would be
+        # accepted, then silently killed by PnP's z>0 gate (ADVICE r4 #2)
+        return jnp.sum(jnp.where(ok, err, 0.0), axis=1), jnp.sum(ok, axis=1)
 
     finite = jnp.isfinite(X_new).all(axis=-1)
-    c_new = lm_cost(jnp.where(finite[:, None], X_new, prob.X))
-    c_old = lm_cost(prob.X)
+    c_new, n_new = lm_cost(jnp.where(finite[:, None], X_new, prob.X))
+    c_old, n_old = lm_cost(prob.X)
     # floor 2 px^2 (summed over the window): a near-zero-residual
     # landmark may legitimately move sub-pixel amounts under joint
     # refinement; only multiples-worse or absolute blow-ups reject
-    ok = finite & (c_new <= 4.0 * c_old + 2.0)
+    ok = finite & (c_new <= 4.0 * c_old + 2.0) & (n_new >= n_old)
     return jnp.where(ok[:, None], X_new, prob.X)
 
 

@@ -410,7 +410,8 @@ def make_marathon_fixture(
     (src/main.py:58-64); the 128/256-frame fixtures are two orders
     short (VERDICT r3 item 7). This stretches the corridor recipe:
     - `num_frames` >= 1024 with a multi-period S-curve yaw profile
-      (three full periods, peak ~0.9 deg/frame);
+      (A=0.08 rad, 96-frame periods -> ~10.7 full S-curves over 1024
+      frames, peak yaw rate ~0.45 deg/frame);
     - double the frame speed, so median inter-frame flows land in the
       tens of pixels — the regime the reference's KITTI gate set
       (min_median_flow=40, src/config/config.py:54) actually operates
@@ -422,7 +423,7 @@ def make_marathon_fixture(
     rng = np.random.default_rng(seed)
     t = np.arange(num_frames, dtype=np.float64)
     # Bounded-excursion S-curves: yaw(t) = A sin(2 pi t / P) with
-    # A = 0.12 rad and P = 96 keeps the lateral excursion ~9 m — inside
+    # A = 0.08 rad and P = 96 keeps the lateral excursion bounded — inside
     # the renderer's corridor walls at +-14 (the first marathon cut
     # integrated its yaw to ~150 deg and drove the camera 1.2 km out of
     # the corridor; 312 tracking resets were the fixture's fault, not

@@ -32,8 +32,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from visualodometry_tpu.geometry.linalg import svd3
-
 # abscissae for exact quartic coefficient recovery (constant, host-side)
 _VS = np.array([-2.0, -1.0, 0.0, 1.0, 2.0])
 _VANDER_INV = np.linalg.inv(np.vander(_VS, 5, increasing=True)).astype(
@@ -80,31 +78,42 @@ def _durand_kerner4(coeffs, iters: int = 40):
     return z
 
 
+def _triad(P):
+    """Orthonormal frame from 3 points (rows of P, shape (..., 3, 3)).
+
+    Columns of the returned matrix are the Gram-Schmidt frame built from
+    the two edge vectors P2-P1, P3-P1. Degenerate (collinear) triples
+    yield non-finite entries, masked by the caller's isfinite check.
+    """
+    e1 = P[..., 1, :] - P[..., 0, :]
+    e2 = P[..., 2, :] - P[..., 0, :]
+    a1 = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-12)
+    r2 = e2 - jnp.sum(e2 * a1, -1, keepdims=True) * a1
+    n2 = jnp.linalg.norm(r2, axis=-1, keepdims=True)
+    a2 = r2 / jnp.where(n2 > 1e-9, n2, jnp.nan)  # collinear -> NaN -> masked
+    a3 = jnp.cross(a1, a2)
+    return jnp.stack([a1, a2, a3], axis=-1)  # columns
+
+
 def _kabsch3(Pc, Xw):
     """Rigid T_cw from 3 camera-frame points and 3 world points.
 
     Pc, Xw: (..., 3, 3) rows = points. Returns R (..., 3, 3), t (..., 3)
     with Pc ~= R Xw + t.
+
+    P3P's point triples are exactly congruent per hypothesis (distances
+    come from an algebraic root), so the alignment is computed by triad
+    composition R = F_c F_w^T — exact on congruent triples and, unlike an
+    SVD of H (or eigh of H^T H, which squares the condition number),
+    well-conditioned on elongated rank-2 geometries (ADVICE r4 #1).
     """
-    cc = Pc.mean(axis=-2, keepdims=True)
-    cw = Xw.mean(axis=-2, keepdims=True)
-    H = jnp.einsum(
-        "...ni,...nj->...ij", Xw - cw, Pc - cc, precision="highest"
-    )
-    U, s, Vt = svd3(H)
-    det = jnp.linalg.det(
-        jnp.einsum("...ij,...jk->...ik", U, Vt, precision="highest")
-    )
-    D = jnp.stack(
-        [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
-    )
-    # R = V diag(1,1,det) U^T  (maps world -> camera)
+    Fc = _triad(Pc)
+    Fw = _triad(Xw)
     R = jnp.einsum(
-        "...ji,...j,...jk->...ik", Vt, D, jnp.swapaxes(U, -1, -2),
-        precision="highest",
-    )
-    t = cc[..., 0, :] - jnp.einsum(
-        "...ij,...j->...i", R, cw[..., 0, :], precision="highest"
+        "...ik,...jk->...ij", Fc, Fw, precision="highest"
+    )  # Fc @ Fw^T
+    t = Pc[..., 0, :] - jnp.einsum(
+        "...ij,...j->...i", R, Xw[..., 0, :], precision="highest"
     )
     return R, t
 
@@ -148,6 +157,25 @@ def p3p_grunert(X, xy):
 
     roots = _durand_kerner4(coeffs.astype(jnp.complex64))  # (H, 4)
     v = jnp.real(roots)
+
+    # Newton polish against the resultant evaluated DIRECTLY (elementwise,
+    # no Vandermonde round-trip): recovers the f32 accuracy the coefficient
+    # recovery loses on ill-conditioned (elongated-triple) geometries.
+    def res_at(v):
+        w = 1.0 + v * v - 2.0 * v * cb[:, None]
+        return _resultant_monic_quadratics(
+            -2.0 * cg[:, None],
+            1.0 - B[:, None] * w,
+            -2.0 * v * ca[:, None],
+            v * v - A[:, None] * w,
+        )
+
+    h = 1e-4 * (1.0 + jnp.abs(v))
+    for _ in range(3):
+        r0 = res_at(v)
+        dr = (res_at(v + h) - res_at(v - h)) / (2.0 * h)
+        stepv = r0 / jnp.where(jnp.abs(dr) > 1e-12, dr, 1e-12)
+        v = v - jnp.clip(stepv, -0.1, 0.1)
     real = jnp.abs(jnp.imag(roots)) < 1e-3 * (1.0 + jnp.abs(v))
     pos = v > 1e-6
 

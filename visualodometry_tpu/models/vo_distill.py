@@ -78,7 +78,7 @@ def sift_cell_labels(kps, resp, H, W):
     sub (H//8, W//8, 2) float32 — the keypoint's subpixel (x, y)
     WITHIN the cell in [0, 8); zeros where empty). The subpixel target
     is what the expected-coordinate regression loss consumes
-    (train_superpoint_textured.loss_fn_sub) — the r3 65-way CE alone
+    (vo_distill.loss_fn_sub) — the r3 65-way CE alone
     treats every pixel miss equally, which capped the learned
     detector's localization at ~1.5 px (scripts/feat_quality.py).
     """
@@ -190,7 +190,7 @@ def vo_pair_batch(
     pool: dict,
     batch: int = 16,
     hw: tuple[int, int] = (320, 640),
-) -> TrainBatchH:
+) -> TrainBatchSub:
     """Consecutive-frame batches with depth-GT cell correspondence."""
     H, W = hw
     hc, wc = H // 8, W // 8
@@ -283,7 +283,7 @@ def homography_pool_batch(
     batch: int = 16,
     hw: tuple[int, int] = (320, 640),
     strength: float = 0.10,
-) -> TrainBatchH:
+) -> TrainBatchSub:
     """Homography pairs over pool crops with the SIFT-teacher labels.
 
     Complements vo_pair_batch: big synthetic viewpoint changes (the
