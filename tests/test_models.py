@@ -200,6 +200,111 @@ class TestSuperPointPretraining:
         assert v.sum() >= 5  # pretrained detector fires on blob images
 
 
+class TestSuperPointDense:
+    """r5 dense scoring head (models/superpoint.py::SuperPointDense)."""
+
+    def _batch(self, rng, B=2, H=64, W=96):
+        from visualodometry_tpu.models.train_superpoint_textured import (
+            TrainBatchH,
+        )
+        from visualodometry_tpu.models.vo_distill import TrainBatchSub
+
+        hc, wc = H // 8, W // 8
+        labels0 = rng.integers(0, 65, (B, hc, wc)).astype(np.int32)
+        return TrainBatchSub(
+            h=TrainBatchH(
+                img0=jnp.asarray(rng.random((B, H, W), np.float32)),
+                img1=jnp.asarray(rng.random((B, H, W), np.float32)),
+                labels0=jnp.asarray(labels0),
+                labels1=jnp.asarray(
+                    rng.integers(0, 65, (B, hc, wc)).astype(np.int32)
+                ),
+                cell_tgt=jnp.asarray(
+                    rng.integers(0, hc, (B, hc, wc, 2)).astype(np.int32)
+                ),
+                cell_valid=jnp.asarray(rng.random((B, hc, wc)) > 0.5),
+            ),
+            sub0=jnp.asarray(
+                rng.uniform(0, 8, (B, hc, wc, 2)).astype(np.float32)
+            ),
+            subv0=jnp.asarray(labels0 != 64),
+        )
+
+    def test_warm_start_and_arch_dispatch(self):
+        import jax
+
+        from visualodometry_tpu.models.superpoint import (
+            SuperPointBackbone,
+            is_dense_params,
+        )
+        from visualodometry_tpu.models.train_superpoint_dense import (
+            warm_start_dense,
+        )
+
+        bk = SuperPointBackbone()
+        bkp = bk.init(jax.random.key(0), jnp.zeros((1, 64, 96, 1)))
+        model, params = warm_start_dense(
+            jax.random.key(1), bkp, input_hw=(64, 96)
+        )
+        assert is_dense_params(params) and not is_dense_params(bkp)
+        # shared layers copied exactly
+        np.testing.assert_array_equal(
+            params["params"]["conv1a"]["kernel"],
+            bkp["params"]["conv1a"]["kernel"],
+        )
+        score, desc = model.apply(params, jnp.zeros((2, 64, 96, 1)))
+        assert score.shape == (2, 64, 96)
+        assert desc.shape == (2, 8, 12, 256)
+
+    def test_dense_training_step_decreases_loss(self):
+        import jax
+        import optax
+
+        from visualodometry_tpu.models.superpoint import SuperPointBackbone
+        from visualodometry_tpu.models.train_superpoint_dense import (
+            make_train_step_dense,
+            warm_start_dense,
+        )
+
+        rng = np.random.default_rng(0)
+        bk = SuperPointBackbone()
+        bkp = bk.init(jax.random.key(0), jnp.zeros((1, 64, 96, 1)))
+        model, params = warm_start_dense(
+            jax.random.key(1), bkp, input_hw=(64, 96)
+        )
+        batch = self._batch(rng)
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+        step = jax.jit(make_train_step_dense(model, tx))
+        losses = []
+        for _ in range(8):
+            params, opt, loss, _ = step(params, opt, batch)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_localization_operator_matches_inference(self):
+        """The trained refinement = the deployed refinement: with a
+        peaked score map, the training-loss centroid and
+        select_keypoints' subpixel output coincide."""
+        import jax
+
+        from visualodometry_tpu.models.superpoint import select_keypoints
+
+        H, W = 32, 32
+        gx, gy = 17.3, 14.8
+        ys, xs = np.mgrid[0:H, 0:W]
+        heat = np.exp(
+            -((xs - gx) ** 2 + (ys - gy) ** 2) / (2 * 0.8**2)
+        ).astype(np.float32)
+        coarse = np.ones((H // 8, W // 8, 16), np.float32)
+        f = select_keypoints(
+            jnp.asarray(heat), jnp.asarray(coarse), 4, threshold=0.1
+        )
+        v = np.asarray(f.valid)
+        kp = np.asarray(f.kps)[v][0]
+        assert abs(kp[0] - gx) < 0.15 and abs(kp[1] - gy) < 0.15
+
+
 class TestMatcherTraining:
     def test_training_improves_hard_matching(self):
         """Short training run beats identity-init on ambiguous descriptors."""

@@ -215,6 +215,13 @@ def get_config(dataset: str, extractor: str = "superpoint") -> VOConfig:
             baseline_lr=0.002,
             turn_smoothing=0.2,
             trans_smoothing=0.4,
+            # KITTI's strict 1-px PnP gate at 40-px keyframe flows is
+            # where 6-point-DLT hypothesis noise caused tracking resets
+            # (r4 diagnosis); P3P hypotheses are exact on their minimal
+            # set — measured r5: non-blackout resets 3 -> 0 over 256
+            # marathon frames at this gate set, fps cost ~2% (ablation:
+            # scripts/ablate_kittigates.py)
+            pnp_solver="p3p",
         )
         if extractor == "sift":
             cfg = cfg.replace(

@@ -79,6 +79,10 @@ def make_chunked_pipeline_fn(
             feats_stack = vextract(imgs)
             return scan_step(state, feats_stack)
 
+        # expose the two compiled programs for cost/roofline analysis
+        # (bench.py `_pct_speed_of_light`: the closure itself is not a
+        # jitted fn, so XLA cost analysis must query its parts)
+        run_chunk.jitted_programs = (vextract, scan_step)
         return run_chunk
 
     from visualodometry_tpu.ba.inloop import make_ba_chunk_fn

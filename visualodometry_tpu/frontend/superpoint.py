@@ -44,6 +44,7 @@ def _default_weights_path():
 
     weights = Path(__file__).resolve().parent.parent / "models" / "weights"
     for name in (
+        "superpoint_dense.pkl",  # r5 dense scoring head (NMS-aware)
         "superpoint_vo.pkl",  # r4 SIFT-teacher + depth-GT VO-pair stage
         "superpoint_textured.pkl",
         "superpoint_synthetic.pkl",
@@ -82,6 +83,16 @@ def make_superpoint_extract_fn(
         from visualodometry_tpu.models.train_superpoint import load_params
 
         params = load_params(_default_weights_path())
+
+    # r5: the dense-scoring-head architecture is identified by its own
+    # param names (models/superpoint.py::is_dense_params)
+    from visualodometry_tpu.models.superpoint import (
+        SuperPointDense,
+        is_dense_params,
+    )
+
+    if is_dense_params(params):
+        model = SuperPointDense()
 
     def _extract(img: jnp.ndarray) -> Features:
         if img.dtype == jnp.uint8:

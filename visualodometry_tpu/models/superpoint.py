@@ -58,6 +58,76 @@ class SuperPointBackbone(nn.Module):
         return det, desc
 
 
+class SuperPointDense(nn.Module):
+    """r5 learned frontend: dense full-resolution scoring head.
+
+    Same VGG encoder and 256-D descriptor head as SuperPointBackbone
+    (layer names match, so stage-1/stage-2 weights warm-start), but the
+    65-way cell-softmax detector head is replaced by a DISK/ALIKED-class
+    dense scoring head: 1x1-projected features from all four encoder
+    scales, bilinearly upsampled to full resolution, mixed by two 3x3
+    convs into a single score-logit map. Rationale (RESULTS r4): the
+    cell-softmax head's argmax jitter capped frame-to-frame localization
+    at p50 ~1.5 px (vs SIFT 0.18 px) and no amount of cell-level
+    supervision fixed it — scoring every pixel lets the NMS+softargmax
+    selection be trained directly (train_superpoint_dense.py).
+    Reference capability matched: the released SuperPoint the reference
+    loads out of the box (src/modules/frontend.py:17-22).
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        def block(x, ch, name):
+            x = nn.Conv(ch, (3, 3), padding="SAME", name=f"{name}a")(x)
+            x = nn.relu(x)
+            x = nn.Conv(ch, (3, 3), padding="SAME", name=f"{name}b")(x)
+            x = nn.relu(x)
+            return x
+
+        x1 = block(x, 64, "conv1")  # (B, H,   W,   64)
+        x = nn.max_pool(x1, (2, 2), strides=(2, 2))
+        x2 = block(x, 64, "conv2")  # (B, H/2, W/2, 64)
+        x = nn.max_pool(x2, (2, 2), strides=(2, 2))
+        x3 = block(x, 128, "conv3")  # (B, H/4, W/4, 128)
+        x = nn.max_pool(x3, (2, 2), strides=(2, 2))
+        x4 = block(x, 128, "conv4")  # (B, H/8, W/8, 128)
+
+        B, H, W, _ = x1.shape
+        feats = []
+        for i, (xs, ch) in enumerate(
+            ((x1, 8), (x2, 8), (x3, 8), (x4, 8)), start=1
+        ):
+            s = nn.Conv(ch, (1, 1), name=f"score{i}")(xs)
+            if xs.shape[1] != H:
+                s = jax.image.resize(
+                    s, (B, H, W, ch), method="bilinear"
+                )
+            feats.append(s)
+        s = jnp.concatenate(feats, axis=-1)  # (B, H, W, 32)
+        s = nn.relu(
+            nn.Conv(16, (3, 3), padding="SAME", name="scoreMixA")(s)
+        )
+        score = nn.Conv(1, (3, 3), padding="SAME", name="scoreMixB")(s)[
+            ..., 0
+        ]  # (B, H, W) logits
+
+        desc = nn.Conv(256, (3, 3), padding="SAME", name="convDa")(x4)
+        desc = nn.relu(desc)
+        desc = nn.Conv(256, (1, 1), name="convDb")(desc)
+        desc = desc / jnp.maximum(
+            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8
+        )
+        return score, desc
+
+
+def is_dense_params(params) -> bool:
+    """True when a params pytree belongs to SuperPointDense."""
+    try:
+        return "scoreMixB" in params["params"]
+    except (KeyError, TypeError):
+        return False
+
+
 class SuperPointOutput(NamedTuple):
     heatmap: jnp.ndarray  # (H, W) keypoint probability
     coarse_desc: jnp.ndarray  # (H/8, W/8, 256) normalized
@@ -259,7 +329,10 @@ def superpoint_extract(
     )
     det = det.astype(jnp.float32)
     desc = desc.astype(jnp.float32)
-    heat = heatmap_from_logits(det[0])
+    if isinstance(model, SuperPointDense):
+        heat = jax.nn.sigmoid(det[0])  # dense head: full-res logits
+    else:
+        heat = heatmap_from_logits(det[0])
     return select_keypoints(
         heat, desc[0], max_keypoints, threshold,
         img=img if forstner else None,
