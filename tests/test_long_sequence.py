@@ -80,6 +80,13 @@ def _cfg():
         lowe_ratio=0.75,
         essential_hypotheses=256,
         pnp_hypotheses=256,
+        # P3P minimal-solver hypotheses (r5, the production KITTI
+        # default): exact on the minimal set where the 6-point DLT's
+        # least-squares fit amplifies pixel noise. Measured on this
+        # fixture, 6 seeds, CPU contract platform: pre-blackout drift
+        # median 1.46x cv2 (dlt: 1.87x), max 1.83x (dlt: 2.59x) —
+        # scripts/ablate_long_drift.py, RESULTS r5.
+        pnp_solver="p3p",
         map_capacity=8192,  # small enough that 200+ keyframes wrap it
         matcher_backend="jnp",
         ba_window=5,
@@ -228,5 +235,9 @@ class TestLongSequence:
         ref_pre = float(ate_rmse(ref_pos[8:n], gt[8:n], align="sim3"))
         med = float(np.median(ates))
         mx = float(np.max(ates))
-        assert med <= 2.8 * ref_pre, (ates, ref_pre)
-        assert mx <= 4.5 * ref_pre, (ates, ref_pre)
+        # r5 contract, tightened after the P3P hypothesis switch: the
+        # 6-seed distribution measured median 1.46x / max 1.83x on this
+        # platform (r4 dlt: median 1.87x observed here, 2.3x on chip).
+        # Bounds leave platform/seed headroom over those measurements.
+        assert med <= 2.0 * ref_pre, (ates, ref_pre)
+        assert mx <= 3.0 * ref_pre, (ates, ref_pre)
