@@ -33,6 +33,10 @@ def main():
         if len(sys.argv) > 2
         else "/root/repo/visualodometry_tpu/models/weights/superpoint_dense.pkl"
     )
+    # stage-2 continuation: [warm.pkl] [loc_w] [lr]
+    warm_dense = sys.argv[3] if len(sys.argv) > 3 else None
+    loc_w = float(sys.argv[4]) if len(sys.argv) > 4 else 4.0
+    lr = float(sys.argv[5]) if len(sys.argv) > 5 else 2e-4
     import jax
 
     jax.config.update(
@@ -63,20 +67,27 @@ def main():
         flush=True,
     )
 
-    model, params = warm_start_dense(
-        jax.random.key(0), load_params(_WARM), input_hw=(320, 640)
-    )
-    print(f"warm start (encoder+desc): {_WARM}", flush=True)
+    if warm_dense:
+        from visualodometry_tpu.models.superpoint import SuperPointDense
+
+        model = SuperPointDense()
+        params = load_params(warm_dense)
+        print(f"warm start (full dense): {warm_dense}", flush=True)
+    else:
+        model, params = warm_start_dense(
+            jax.random.key(0), load_params(_WARM), input_hw=(320, 640)
+        )
+        print(f"warm start (encoder+desc): {_WARM}", flush=True)
     hw = (320, 640)
     batch = 8
-    tx = optax.adam(optax.cosine_decay_schedule(2e-4, steps, alpha=0.05))
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.05))
     opt_state = tx.init(params)
 
     @jax.jit
     def train_step(params, opt_state, b):
         (loss, aux), grads = jax.value_and_grad(
             loss_fn_dense, has_aux=True
-        )(params, model, b)
+        )(params, model, b, loc_w=loc_w)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, aux
 

@@ -33,6 +33,11 @@ class VOConfig:
     # runs at 0.0005 (LightGlue pipeline default); 0.005 starved the
     # corridor-trained detector to ~90 keypoints/frame at 1226x370.
     superpoint_threshold: float = 5e-4
+    # dense-head score threshold (sigmoid scale — the 65-way head's
+    # cell-softmax scale above doesn't transfer). Chip sweep r5:
+    # 0.1-0.5 -> ATE 0.053, 0.7 -> 0.041, 0.95 -> 0.037 at ~117 fps
+    # (weak detections below it add PnP noise, not coverage)
+    superpoint_dense_threshold: float = 0.95
 
     # -- global scaling (monocular scale fixed at bootstrap) ----------------
     # (reference: src/config/config.py:12, applied at src/modules/vo.py:100)

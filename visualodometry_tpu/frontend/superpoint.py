@@ -94,6 +94,12 @@ def make_superpoint_extract_fn(
     if is_dense_params(params):
         model = SuperPointDense()
 
+    threshold = (
+        cfg.superpoint_dense_threshold
+        if is_dense_params(params)
+        else cfg.superpoint_threshold
+    )
+
     def _extract(img: jnp.ndarray) -> Features:
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32) * (1.0 / 255.0)
@@ -103,7 +109,7 @@ def make_superpoint_extract_fn(
             params,
             img,
             max_keypoints=cfg.padded_keypoints,
-            threshold=cfg.superpoint_threshold,
+            threshold=threshold,
             forstner=cfg.superpoint_forstner,
         )
 
