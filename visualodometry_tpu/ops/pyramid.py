@@ -22,12 +22,14 @@ stride-2 slice.
 from __future__ import annotations
 
 import math
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _PRECISION = lax.Precision.HIGH  # f32 err ~2e-6; HIGHEST ~6e-8 at 2x cost
 
@@ -109,6 +111,267 @@ def downsample_2x(img: jnp.ndarray) -> jnp.ndarray:
     return img[::2, ::2]
 
 
+# ---------------------------------------------------------------------------
+# Pallas block-banded blur stack
+#
+# The dense band-matmul octave does W (resp. H) MACs per output pixel
+# when the Gaussian support is only 9-31 taps — ~40x structural-zero
+# waste on the MXU (measured ~0.34 ms/frame batched at 1226x370). A
+# VPU shift-and-add variant was built first and measured SLOWER (0.42):
+# unaligned lane slices cost a relayout copy per tap. The kernel below
+# keeps the MXU but exploits the band structure *blockwise*:
+#   - horizontal: each 128-lane output block depends on one 256-lane
+#     input window, and because the band is shift-invariant the SAME
+#     (256, C*128) matrix maps a window to all C channels' block — a
+#     handful of small matmuls per row tile (256 MACs/pixel vs W=1226);
+#   - vertical: one (TH, TH+2R) @ (TH+2R, W) matmul per channel
+#     (TH+2R=64 MACs/pixel vs H=370).
+# ~4x fewer FLOPs than the dense band matmul, one fused pass over a
+# row tile held in VMEM. Status: OPT-IN (impl="pallas"), not the
+# default — see the note in build_pyramid: measured FLOP-parity with
+# the dense einsum and a long-horizon chaos sensitivity to its
+# different summation order.
+
+
+@lru_cache(maxsize=None)
+def _stack_taps(scales: int, sigma0: float) -> tuple[tuple[float, ...], ...]:
+    """Per-channel 1D taps for one octave — SAME shared stack-max
+    radius as the band-matmul path (_octave_mats).
+
+    Channel i has incremental blur sqrt((sigma0*k^(i+1))^2 - sigma0^2)
+    applied to the octave base. An earlier per-channel-radius variant
+    (radius ceil(3 sigma_c), <0.3% mass difference) was MEASURED and
+    REVERTED: the ~5e-4 blur difference flipped marginal DoG extrema
+    and cost the 1024-frame marathon 3 unexplained resets (segment ATE
+    43 -> 61 m) where the matmul pyramid has none. The block-banded
+    matmul cost does not depend on tap count, so matching the shared
+    radius is free.
+    """
+    k = 2.0 ** (1.0 / scales)
+    sigmas = [
+        math.sqrt(max((sigma0 * k ** (i + 1)) ** 2 - sigma0**2, 1e-8))
+        for i in range(scales + 2)
+    ]
+    radius = max(1, int(math.ceil(3.0 * max(sigmas))))
+    return tuple(
+        tuple(_full_kernel_np(s, radius).tolist()) for s in sigmas
+    )
+
+
+@lru_cache(maxsize=None)
+def _block_band_mats(taps, TH: int, R: int):
+    """Blockwise band matrices for one octave's separable blurs.
+
+    Bh (256, C*128): maps a 256-lane input window (64-lane halo each
+    side) to all C channels' 128-lane horizontal-blur block; the band
+    is shift-invariant so one matrix serves every block. Requires
+    per-channel radius <= 64.
+    Bv (C, TH, TH+2R): per-channel vertical pass over a row tile.
+    """
+    C = len(taps)
+    Bh = np.zeros((256, C * 128), np.float32)
+    Bv = np.zeros((C, TH, TH + 2 * R), np.float32)
+    for c, kern in enumerate(taps):
+        r = (len(kern) - 1) // 2
+        assert r <= 64, r
+        for length in range(128):
+            for t in range(-r, r + 1):
+                Bh[64 + length + t, c * 128 + length] = kern[t + r]
+        for ro in range(TH):
+            for t in range(-r, r + 1):
+                Bv[c, ro, R + ro + t] = kern[t + r]
+    return Bh, Bv
+
+
+def _blur_stack_kernel(
+    C: int,
+    TH: int,
+    R: int,
+    W: int,
+    n_blocks: int,
+    x_hbm_ref,
+    bh_ref,
+    bv_ref,
+    out_ref,
+    scratch,
+    th_scratch,
+    sem,
+):
+    # the padded base stays in HBM; each grid step DMAs only its row
+    # tile + halo into VMEM scratch (the full image in VMEM OOMs at
+    # the fo=-1 resolution, and XLA may also stage the kernel OUTPUT
+    # in VMEM when it is small enough — budget for both)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm_ref.at[b, pl.ds(i * TH, TH + 2 * R), :], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    dn = (((1,), (0,)), ((), ()))
+    # Mosaic rejects Precision.HIGH; HIGHEST costs ~2x but these
+    # matmuls are tiny relative to the stage. Accuracy matters: the DoG
+    # contrast threshold is O(2.5e-3) (module docstring).
+    prec = lax.Precision.HIGHEST
+    for j in range(n_blocks):  # horizontal: one matmul per lane block
+        win = scratch[:, j * 128 : j * 128 + 256]
+        hb = lax.dot_general(
+            win,
+            bh_ref[:],
+            dn,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (TH+2R, C*128)
+        for c in range(C):
+            th_scratch[c, :, j * 128 : (j + 1) * 128] = hb[
+                :, c * 128 : (c + 1) * 128
+            ]
+    for c in range(C):  # vertical: one matmul per channel
+        v = lax.dot_general(
+            bv_ref[c],
+            th_scratch[c],
+            dn,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (TH, n_blocks*128)
+        out_ref[0, c] = v[:, :W]
+
+
+@partial(jax.jit, static_argnames=("taps", "interpret"))
+def _blur_stack_batched(
+    bases: jnp.ndarray,
+    taps: tuple[tuple[float, ...], ...],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, H, W) bases -> (B, C, H, W) Gaussian stacks."""
+    B, H, W = bases.shape
+    C = len(taps)
+    R = max((len(k) - 1) // 2 for k in taps)
+    # Mosaic DMA row slices must be 8-aligned: round the halo up so the
+    # (TH + 2R) scratch height is a multiple of 8 (extra edge rows are
+    # weight-zero for every channel, harmless)
+    R = -(-R // 4) * 4
+    # TH=32 keeps the whole scoped-VMEM stack under 16 MB even when
+    # XLA stages BOTH the kernel operand and result in VMEM (it does,
+    # for single-frame sizes): result ~9.4 MB + operand ~2.1 MB +
+    # out-block double buffer + tile scratches.
+    TH = 32
+    n_tiles = -(-H // TH)
+    Hp = n_tiles * TH
+    n_blocks = -(-W // 128)
+    # lane padding: exactly 64 edge columns on the left (the horizontal
+    # window halo), right edge-padded so every 256-lane window exists
+    WpH = n_blocks * 128 + 128
+    padded = jnp.pad(
+        bases.astype(jnp.float32),
+        ((0, 0), (R, R + (Hp - H)), (64, WpH - W - 64)),
+        mode="edge",
+    )
+    Bh, Bv = _block_band_mats(taps, TH, R)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, n_tiles),
+        in_specs=[
+            # the padded base stays in HBM explicitly — under pl.ANY
+            # the compiler pulls the whole image into scoped VMEM when
+            # it fits, which OOMs at fo=-1 sizes
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (256, C * 128),
+                lambda b, i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (C, TH, TH + 2 * R),
+                lambda b, i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, TH, W),
+            lambda b, i: (b, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2 * R, WpH), jnp.float32),
+            pltpu.VMEM((C, TH + 2 * R, n_blocks * 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_blur_stack_kernel, C, TH, R, W, n_blocks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, Hp, W), jnp.float32),
+        interpret=interpret,
+    )(padded, jnp.asarray(Bh), jnp.asarray(Bv))
+    return out[:, :, :H, :]
+
+
+@lru_cache(maxsize=None)
+def _blur_stack_fn(taps, interpret: bool):
+    """custom_vmap wrapper: vmap maps onto the kernel's native batch
+    grid dimension (compiled Pallas can't batch an HBM-space in_spec)."""
+
+    @jax.custom_batching.custom_vmap
+    def f(base):
+        return _blur_stack_batched(base[None], taps, interpret)[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, bases):  # noqa: ARG001
+        del axis_size
+        (bb,) = in_batched
+        assert bb, "blur_stack_pallas: unbatched arg under vmap"
+        return _blur_stack_batched(bases, taps, interpret), True
+
+    return f
+
+
+def blur_stack_pallas(
+    base: jnp.ndarray,
+    taps: tuple[tuple[float, ...], ...],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(H, W) base -> (C, H, W) Gaussian stack, C = len(taps).
+
+    Each output channel is the edge-padded separable convolution of
+    `base` with its (static) tap vector. Fused single-pass Pallas
+    kernel: per row-tile, the halo'd input is read once from VMEM and
+    all channels' horizontal+vertical passes run on the VPU. vmap maps
+    to the kernel's native batch grid axis (one compiled program for
+    the whole chunk).
+    """
+    return _blur_stack_fn(taps, bool(interpret))(base)
+
+
+def _pallas_blur_fits(h: int, w: int, channels: int) -> bool:
+    """Whether the blur-stack kernel's scoped-VMEM footprint fits.
+
+    XLA's buffer assignment promotes the kernel's operand/result into
+    scoped VMEM at these sizes (observed: the result carries S(1) even
+    with HBM in_specs); budget result + operand + staging under the
+    16 MB limit with margin. Only the fo=-1 base octave (2452x768)
+    exceeds it at KITTI shapes — that call falls back to band matmuls.
+    """
+    R, TH = 16, 32
+    hp = -(-h // TH) * TH
+    wp = -(-(w + 2 * R) // 128) * 128
+    result = channels * hp * w * 4
+    operand = (hp + 2 * R) * wp * 4
+    staging = 2 * channels * TH * wp * 4 + (TH + 2 * R) * wp * 4
+    return result + operand + staging < 14 * 1024 * 1024
+
+
+def build_gaussian_octave_pallas(
+    base: jnp.ndarray, sigma0: float, scales: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Drop-in for build_gaussian_octave via the Pallas blur stack."""
+    if not (interpret or _pallas_blur_fits(*base.shape, scales + 2)):
+        return build_gaussian_octave(base, sigma0, scales)
+    taps = _stack_taps(scales, float(sigma0))
+    x = blur_stack_pallas(base, taps, interpret=interpret)
+    return jnp.concatenate([base[None].astype(jnp.float32), x], axis=0)
+
+
 def build_pyramid(
     img: jnp.ndarray,
     num_octaves: int,
@@ -116,6 +379,7 @@ def build_pyramid(
     sigma0: float = 1.6,
     assumed_blur: float = 0.5,
     first_octave: int = 0,
+    impl: str = "auto",
 ):
     """Full Gaussian + DoG pyramids.
 
@@ -132,15 +396,44 @@ def build_pyramid(
     `first_octave` — coordinate mapping back to input pixels is the
     caller's job via 2^(o + first_octave).
     """
+    # "auto" resolves to the band matmul on every backend. The Pallas
+    # block-banded kernel (impl="pallas") was built and measured: 0.303
+    # vs 0.317 ms/frame batched at 1226x370 — FLOP-parity in practice
+    # because XLA's dense band einsum already runs the MXU well. It is
+    # NOT the default because the long-horizon marathon is numerically
+    # chaotic at the 1e-5 scale: the kernel's different matmul
+    # summation order (in-kernel HIGHEST over 256-lane windows vs
+    # XLA HIGH over full rows) perturbs marginal DoG extrema enough to
+    # cost 2-3 unexplained resets over 1024 frames (segment ATE
+    # 43 -> 61-70 m) where the matmul pyramid has none — measured on
+    # chip, identical taps. The validated numerics ship.
+    if impl == "auto":
+        impl = "matmul"
     if first_octave == -1:
         H, W = img.shape
         img = jax.image.resize(img, (2 * H, 2 * W), "linear")
         assumed_blur = 2.0 * assumed_blur
     sig_diff = math.sqrt(max(sigma0**2 - assumed_blur**2, 1e-8))
-    base = blur_2d(img, sig_diff)
+    if impl in ("pallas", "pallas_interpret"):
+        interp = impl == "pallas_interpret"
+        if interp or _pallas_blur_fits(*img.shape, 1):
+            base_taps = (
+                tuple(
+                    _full_kernel_np(
+                        sig_diff, max(1, int(math.ceil(3.0 * sig_diff)))
+                    ).tolist()
+                ),
+            )
+            base = blur_stack_pallas(img, base_taps, interpret=interp)[0]
+        else:
+            base = blur_2d(img, sig_diff)
+        octave = partial(build_gaussian_octave_pallas, interpret=interp)
+    else:
+        base = blur_2d(img, sig_diff)
+        octave = build_gaussian_octave
     gauss, dogs = [], []
     for o in range(num_octaves):
-        stack = build_gaussian_octave(base, sigma0, scales)
+        stack = octave(base, sigma0, scales)
         gauss.append(stack)
         dogs.append(stack[1:] - stack[:-1])
         # next octave seeds from the level with 2*sigma0 blur
