@@ -230,6 +230,12 @@ def make_klt_step_fn(
         return state, jnp.sum(promote.astype(jnp.int32))
 
     def step(state: KLTState, img: jnp.ndarray, fresh: Features):
+        # accept uint8 frames (the chunk runners upload uint8 to cut
+        # host->device bytes 4x, same contract as extract_sift); the
+        # carry stores the normalized f32 image
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) * (1.0 / 255.0)
+        img = img.astype(jnp.float32)
         key, k_ess, k_pnp = jax.random.split(state.rng_key, 3)
         state = state._replace(rng_key=key)
 
