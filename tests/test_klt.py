@@ -123,3 +123,54 @@ class TestKLT:
             np.asarray(new_kps)[tracked] - uv1[common][tracked], axis=1
         )
         assert np.median(err) < 0.5
+
+
+class TestKLTPatchSampling:
+    def test_patch_path_matches_gather(self, rng):
+        """The patch-DMA sampling path (TPU default, ops/klt.py
+        _klt_track_patch) agrees with the gather path on tracked set
+        and positions (sub-0.05 px: boundary-clip and tiny-level
+        shared-sampling differences only)."""
+        img, pts = _texture(rng)
+        dx, dy = 3.4, -2.1
+        from scipy.ndimage import shift as ndshift
+
+        shifted = ndshift(img, (dy, dx), order=3, mode="nearest").astype(
+            np.float32
+        )
+        kps = pts[:60].astype(np.float32)
+        valid = np.ones(60, bool)
+        nk_g, tr_g = klt_track(
+            jnp.asarray(img), jnp.asarray(shifted), jnp.asarray(kps),
+            jnp.asarray(valid), sampling="gather",
+        )
+        nk_p, tr_p = klt_track(
+            jnp.asarray(img), jnp.asarray(shifted), jnp.asarray(kps),
+            jnp.asarray(valid), sampling="patch_interpret",
+        )
+        tr_g, tr_p = np.asarray(tr_g), np.asarray(tr_p)
+        # near-identical tracked sets
+        assert (tr_g == tr_p).mean() > 0.95, (tr_g.sum(), tr_p.sum())
+        both = tr_g & tr_p
+        assert both.sum() >= 40
+        d = np.abs(np.asarray(nk_g)[both] - np.asarray(nk_p)[both])
+        assert d.max() < 0.05, d.max()
+        # and both recover the true flow
+        err = np.abs(np.asarray(nk_p)[both] - (kps[both] + [dx, dy]))
+        assert np.median(err) < 0.1
+
+    def test_patch_path_nondivisible_slots(self, rng):
+        """Slot counts not divisible by the DMA group of 8 are padded
+        internally and unpadded on return."""
+        img, pts = _texture(rng)
+        shifted = np.roll(img, 2, 1)
+        kps = pts[:45].astype(np.float32)
+        nk, tr = klt_track(
+            jnp.asarray(img), jnp.asarray(shifted), jnp.asarray(kps),
+            jnp.ones(45, bool), sampling="patch_interpret",
+        )
+        assert nk.shape == (45, 2) and tr.shape == (45,)
+        tr = np.asarray(tr)
+        assert tr.mean() > 0.8
+        err = np.abs(np.asarray(nk)[tr] - (kps[tr] + [2, 0]))
+        assert np.median(err) < 0.1
