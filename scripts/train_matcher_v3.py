@@ -12,7 +12,14 @@ assignment (matcher_data.build_vo_match_dataset), slot-subsampled to
 position/flow/descriptor distribution is what transfers; the final
 eval runs the full 4096-slot problems).
 
-Usage: python scripts/train_matcher_v3.py [steps] [out.pkl]
+Usage: python scripts/train_matcher_v3.py [steps] [out.pkl] [warm.pkl]
+         [vo_every]
+
+vo_every: one VO-pair batch every N steps (default 2, i.e. 1:1). The
+first 4000-step 1:1 run fixed the marathon reset (0 held-out resets)
+but cost standard-fixture ATE (0.0124 -> 0.0716): the deployment-regime
+pairs crowd out fine-precision small-flow matching. Continuations
+rebalance (e.g. vo_every=4) warm-started from the robust checkpoint.
 """
 
 import os
@@ -40,6 +47,8 @@ def main():
         else "/root/repo/visualodometry_tpu/models/weights/"
         "attention_matcher_sift_v3.pkl"
     )
+    warm = sys.argv[3] if len(sys.argv) > 3 else _WARM
+    vo_every = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
     import jax
 
@@ -103,10 +112,10 @@ def main():
         b0.kps1[0], b0.desc1[0], b0.valid1[0],
         method="all_layers",
     )
-    if os.path.exists(_WARM):
-        with open(_WARM, "rb") as f:
+    if os.path.exists(warm):
+        with open(warm, "rb") as f:
             params = jax.tree.map(jnp.asarray, pickle.load(f))
-        print(f"warm-started from {_WARM}", flush=True)
+        print(f"warm-started from {warm}", flush=True)
 
     tx = optax.adam(optax.cosine_decay_schedule(1e-4, steps, alpha=0.05))
     opt_state = tx.init(params)
@@ -128,7 +137,7 @@ def main():
 
     rng = np.random.default_rng(1)
     for i in range(steps):
-        if i % 2 == 0:
+        if i % vo_every != vo_every - 1:
             b = sample_batch(train_h, rng, 8)
         else:
             b = vo_batch(rng)

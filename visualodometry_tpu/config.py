@@ -92,6 +92,13 @@ class VOConfig:
     attention_prune_to: int = 1024
     attention_exit_conf: float = 0.95
     attention_compute: str = "bf16"  # matmul compute dtype: "bf16"|"f32"
+    # Bundled attention-matcher checkpoint filename override (r5): the
+    # default (None) resolves to the v2 precision checkpoint (fixture
+    # ATE 0.0124, one held-out fast-flow reset). Set
+    # "attention_matcher_sift_v3b.pkl" for the deployment-regime-
+    # trained robust checkpoint (0 held-out marathon resets at 2x
+    # frame speed, fixture ATE 0.0428 — RESULTS r5 Pareto table).
+    attention_weights: str | None = None
     # Förstner structure-tensor subpixel refinement of SuperPoint
     # detections (models/superpoint._forstner_refine). OFF by default:
     # on the soft value-noise render texture it measured neutral-to-

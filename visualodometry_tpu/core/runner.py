@@ -36,7 +36,7 @@ def make_chunked_step_fn(
 
 
 def make_chunked_pipeline_fn(
-    cfg: VOConfig, K, enable_ba: bool = False
+    cfg: VOConfig, K, enable_ba: bool = False, matcher_params=None
 ) -> Callable:
     """Chunk runner over raw images (C, H, W): extraction + step (+ BA).
 
@@ -46,7 +46,7 @@ def make_chunked_pipeline_fn(
     once the keyframe window is full. Both frontends are supported:
     cfg.extractor_type "sift" or "superpoint" (the learned CNN).
     """
-    step = make_step_fn(cfg, K)
+    step = make_step_fn(cfg, K, matcher_params=matcher_params)
 
     # Two programs per chunk rather than one: extraction has no frame-to-
     # frame dependency, the sequential VO step scans over the extracted

@@ -104,7 +104,20 @@ def make_step_fn(
                 Path(__file__).resolve().parent.parent / "models" / "weights"
             )
             bundled = None
+            # v2 stays the default: fixture ATE parity (0.0124) is the
+            # headline contract. The r5 deployment-regime checkpoints
+            # (attention_matcher_sift_v3/v3b.pkl, trained on full-res
+            # 4096-slot VO pairs at marathon frame speed) fix v2's one
+            # held-out fast-flow reset (0 resets at 2x frame speed,
+            # scripts/eval_matcher_marathon.py) at the cost of
+            # small-flow precision (ATE 0.043-0.072, RESULTS r5) —
+            # select them by passing matcher_params or
+            # cfg.attention_weights.
             for name in (
+                (cfg.attention_weights,)
+                if getattr(cfg, "attention_weights", None)
+                else ()
+            ) + (
                 "attention_matcher_sift_v2.pkl",
                 "attention_matcher_sift.pkl",
                 "attention_matcher_synthetic.pkl",
