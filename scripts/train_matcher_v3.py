@@ -49,6 +49,10 @@ def main():
     )
     warm = sys.argv[3] if len(sys.argv) > 3 else _WARM
     vo_every = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # v3d experiment: a tighter-tolerance VO dataset (the default
+    # build's 3-px depth-GT match tolerance teaches 3-px-sloppy
+    # assignments — RESULTS r5)
+    cache_vo = sys.argv[5] if len(sys.argv) > 5 else _CACHE_VO
 
     import jax
 
@@ -83,13 +87,16 @@ def main():
         rng = np.random.default_rng(11)
         data_h = build_sift_match_dataset(rng, n_pairs=384)
         np.savez_compressed(_CACHE_H, **data_h)
-    if os.path.exists(_CACHE_VO):
-        data_vo = dict(np.load(_CACHE_VO))
-        print(f"loaded VO dataset {len(data_vo['kps0'])}", flush=True)
+    if os.path.exists(cache_vo):
+        data_vo = dict(np.load(cache_vo))
+        print(
+            f"loaded VO dataset {len(data_vo['kps0'])} ({cache_vo})",
+            flush=True,
+        )
     else:
         rng = np.random.default_rng(12)
         data_vo = build_vo_match_dataset(rng, n_pairs=96)
-        np.savez_compressed(_CACHE_VO, **data_vo)
+        np.savez_compressed(cache_vo, **data_vo)
         print(f"built VO dataset {len(data_vo['kps0'])}", flush=True)
 
     def split(d, frac=8):
